@@ -1,0 +1,5 @@
+"""Framework-wide logger (parity: chroma/log.py)."""
+import logging
+
+logger = logging.getLogger('chroma_tpu')
+logger.addHandler(logging.NullHandler())
