@@ -1,0 +1,345 @@
+"""Pack a flattened Geometry/Detector into device-resident jnp tables.
+
+Replaces the reference's by-hand CUDA struct packing (reference:
+chroma/gpu/geometry.py GPUGeometry, chroma/gpu/detector.py GPUDetector)
+with flat, padded jnp arrays in a pytree dataclass:
+
+  * per-material wavelength tables stacked as (M, W) arrays sampled on
+    a uniform grid, so property lookup is a gather + lerp
+    (reference: chroma/cuda/geometry.h interp_property);
+  * multi-component reemission tables padded to (M, C, W) / (M, C, T);
+  * per-surface tables stacked as (S, W) plus model/thickness vectors;
+  * dichroic angle x wavelength tables padded to (S, A, W);
+  * triangle material codes packed (inner<<24 | outer<<16 | surface<<8)
+    exactly like the reference ABI (chroma/gpu/geometry.py:203);
+  * the BVH node array as (N, 4) uint32 with 16-bit quantized AABBs.
+
+Everything lives in HBM, replicated across chips when sharding photons.
+"""
+import numpy as np
+import jax.numpy as jnp
+from flax import struct
+
+from chroma_tpu.geometry import standard_wavelengths
+from chroma_tpu.bvh.bvh import from_uint4
+
+DEFAULT_TIME_GRID = np.arange(0.0, 1000.0, 0.05, dtype=np.float32)
+
+
+def interp_material_property(wavelengths, prop):
+    """Linearly resample a (n,2) (wavelength,value) table onto a grid.
+
+    Linear interpolation is essential: it guarantees that surface
+    probabilities that sum to 1 still sum to 1 after resampling
+    (reference: chroma/gpu/geometry.py:41)."""
+    prop = np.asarray(prop)
+    return np.interp(wavelengths, prop[:, 0], prop[:, 1]).astype(np.float32)
+
+
+@struct.dataclass
+class GeometryTables:
+    """Device-side geometry (pytree of jnp arrays + static grid params)."""
+    # mesh
+    vertices: jnp.ndarray          # (V,3) f32
+    triangles: jnp.ndarray         # (T,3) i32
+    tri_vertices: jnp.ndarray      # (T,3,3) f32 pre-assembled triangles
+    material_codes: jnp.ndarray    # (T,)  u32
+    colors: jnp.ndarray            # (T,)  u32
+    solid_id_map: jnp.ndarray      # (T,)  i32
+    # BVH (stackless: escape pointers precomputed from the layered tree)
+    nodes: jnp.ndarray             # (N,4) u32
+    escape: jnp.ndarray            # (N,)  u32 next-node-if-skip ("ropes")
+    world_origin: jnp.ndarray      # (3,)  f32
+    world_scale: jnp.ndarray       # ()    f32
+    # materials (M = #materials, C = max components, W/Tn = grid sizes)
+    refractive_index: jnp.ndarray     # (M,W)
+    absorption_length: jnp.ndarray    # (M,W)
+    scattering_length: jnp.ndarray    # (M,W)
+    num_comp: jnp.ndarray             # (M,)  i32
+    comp_reemission_prob: jnp.ndarray      # (M,C,W)
+    comp_reemission_wvl_cdf: jnp.ndarray   # (M,C,W)
+    comp_reemission_time_cdf: jnp.ndarray  # (M,C,Tn)
+    comp_absorption_length: jnp.ndarray    # (M,C,W)
+    # surfaces (S = #surfaces)
+    surf_detect: jnp.ndarray           # (S,W)
+    surf_absorb: jnp.ndarray           # (S,W)
+    surf_reemit: jnp.ndarray           # (S,W)
+    surf_reflect_diffuse: jnp.ndarray  # (S,W)
+    surf_reflect_specular: jnp.ndarray # (S,W)
+    surf_eta: jnp.ndarray              # (S,W)
+    surf_k: jnp.ndarray                # (S,W)
+    surf_reemission_cdf: jnp.ndarray   # (S,W)
+    surf_model: jnp.ndarray            # (S,) i32
+    surf_transmissive: jnp.ndarray     # (S,) i32
+    surf_thickness: jnp.ndarray        # (S,) f32
+    # dichroic (A = max angle samples)
+    dichroic_angles: jnp.ndarray       # (S,A) f32
+    dichroic_nangles: jnp.ndarray      # (S,)  i32
+    dichroic_reflect: jnp.ndarray      # (S,A,W)
+    dichroic_transmit: jnp.ndarray     # (S,A,W)
+    # static uniform-grid parameters
+    wavelength0: float = struct.field(pytree_node=False, default=60.0)
+    wavelength_step: float = struct.field(pytree_node=False, default=5.0)
+    nwavelengths: int = struct.field(pytree_node=False, default=188)
+    time0: float = struct.field(pytree_node=False, default=0.0)
+    time_step: float = struct.field(pytree_node=False, default=0.05)
+    ntimes: int = struct.field(pytree_node=False, default=20000)
+
+
+@struct.dataclass
+class DetectorTables:
+    """Channel maps + shared readout CDFs (reference:
+    chroma/cuda/detector.h)."""
+    solid_id_to_channel_index: jnp.ndarray  # (n_solids,) i32
+    time_cdf_x: jnp.ndarray                 # (Lt,) f32
+    time_cdf_y: jnp.ndarray                 # (Lt,) f32
+    charge_cdf_x: jnp.ndarray               # (Lq,) f32
+    charge_cdf_y: jnp.ndarray               # (Lq,) f32
+    nchannels: int = struct.field(pytree_node=False, default=0)
+
+
+ESCAPE_SENTINEL = np.uint32(0xFFFFFFFF)
+
+
+def compute_escape_pointers(nodes_arr):
+    """Escape ("rope") pointer for every BVH node.
+
+    escape[i] is the node a depth-first traversal jumps to when it
+    skips or finishes node i: the next sibling, or the closest
+    ancestor's next sibling, or ESCAPE_SENTINEL at the end.  With these
+    the traversal needs no per-ray stack — the single hottest state
+    reduction for the TPU lock-step walker (see chroma_tpu/ops/mesh.py).
+
+    Children of a node are contiguous (BVH layout invariant), so the
+    pointers follow from a breadth-wise sweep: each round assigns all
+    children of parents whose own escape is already known (~tree-depth
+    rounds, fully vectorized).
+    """
+    n = len(nodes_arr)
+    w = nodes_arr[:, 3]
+    nchild = (w >> np.uint32(28)).astype(np.int64)
+    first_child = (w & np.uint32(0x0FFFFFFF)).astype(np.int64)
+
+    escape = np.full(n, ESCAPE_SENTINEL, dtype=np.uint32)
+    known = np.zeros(n, dtype=bool)
+    known[0] = True
+    done = np.zeros(n, dtype=bool)
+    internal = nchild > 0
+
+    for _ in range(64):
+        ready = np.flatnonzero(internal & known & ~done)
+        if len(ready) == 0:
+            break
+        done[ready] = True
+        k = nchild[ready]
+        c0 = first_child[ready]
+        child_ids = np.repeat(c0, k) + _intra_run(k)
+        # next sibling by default ...
+        esc = (child_ids + 1).astype(np.uint32)
+        # ... but the last child inherits the parent's escape
+        last = np.cumsum(k) - 1
+        esc[last] = escape[ready]
+        escape[child_ids] = esc
+        known[child_ids] = True
+    return escape
+
+
+def _intra_run(run_lengths):
+    """[0..k0-1, 0..k1-1, ...] for run lengths k."""
+    total = int(run_lengths.sum())
+    cum = np.cumsum(run_lengths)
+    return np.arange(total) - np.repeat(cum - run_lengths, run_lengths)
+
+
+def pack_geometry(geometry, wavelengths=None, times=None):
+    """Pack a flattened Geometry (with .bvh set) into GeometryTables."""
+    if wavelengths is None:
+        wavelengths = standard_wavelengths
+    def uniform_step(grid, what):
+        step = (float(grid[-1]) - float(grid[0])) / (len(grid) - 1)
+        if not np.allclose(np.diff(grid), step, rtol=1e-3,
+                           atol=abs(step) * 1e-3):
+            raise ValueError('%s must be equally spaced apart.' % what)
+        return step
+
+    wavelengths = np.asarray(wavelengths, dtype=np.float32)
+    wavelength_step = uniform_step(wavelengths, 'wavelengths')
+
+    if times is None:
+        times = DEFAULT_TIME_GRID
+    times = np.asarray(times, dtype=np.float32)
+    time_step = uniform_step(times, 'times')
+
+    W = len(wavelengths)
+    Tn = len(times)
+
+    # ---- materials -------------------------------------------------
+    materials = geometry.unique_materials
+    M = len(materials)
+    max_comp = max([len(m.comp_reemission_prob) for m in materials] + [1])
+
+    refractive_index = np.ones((M, W), dtype=np.float32)
+    absorption_length = np.full((M, W), 1e30, dtype=np.float32)
+    scattering_length = np.full((M, W), 1e30, dtype=np.float32)
+    num_comp = np.zeros(M, dtype=np.int32)
+    comp_prob = np.zeros((M, max_comp, W), dtype=np.float32)
+    comp_wvl_cdf = np.zeros((M, max_comp, W), dtype=np.float32)
+    comp_time_cdf = np.zeros((M, max_comp, Tn), dtype=np.float32)
+    comp_abs = np.full((M, max_comp, W), 1e30, dtype=np.float32)
+
+    for i, mat in enumerate(materials):
+        if mat is None:
+            raise Exception('one or more triangles is missing a material.')
+        refractive_index[i] = interp_material_property(
+            wavelengths, mat.refractive_index)
+        absorption_length[i] = interp_material_property(
+            wavelengths, mat.absorption_length)
+        scattering_length[i] = interp_material_property(
+            wavelengths, mat.scattering_length)
+        nc = len(mat.comp_reemission_prob)
+        assert nc == len(mat.comp_reemission_wvl_cdf) \
+            == len(mat.comp_reemission_time_cdf) \
+            == len(mat.comp_absorption_length), \
+            'component arrays must be same length'
+        num_comp[i] = nc
+        for c in range(nc):
+            comp_prob[i, c] = interp_material_property(
+                wavelengths, mat.comp_reemission_prob[c])
+            comp_wvl_cdf[i, c] = interp_material_property(
+                wavelengths, mat.comp_reemission_wvl_cdf[c])
+            comp_time_cdf[i, c] = interp_material_property(
+                times, mat.comp_reemission_time_cdf[c])
+            comp_abs[i, c] = interp_material_property(
+                wavelengths, mat.comp_absorption_length[c])
+
+    # ---- surfaces --------------------------------------------------
+    surfaces = geometry.unique_surfaces
+    S = max(len(surfaces), 1)
+    surf = {name: np.zeros((S, W), dtype=np.float32)
+            for name in ['detect', 'absorb', 'reemit', 'reflect_diffuse',
+                         'reflect_specular', 'eta', 'k', 'reemission_cdf']}
+    surf_model = np.zeros(S, dtype=np.int32)
+    surf_transmissive = np.zeros(S, dtype=np.int32)
+    surf_thickness = np.zeros(S, dtype=np.float32)
+
+    max_angles = 2
+    for s in surfaces:
+        if s is not None and s.dichroic_props is not None:
+            max_angles = max(max_angles, len(s.dichroic_props.angles))
+    dich_angles = np.zeros((S, max_angles), dtype=np.float32)
+    dich_nangles = np.zeros(S, dtype=np.int32)
+    dich_reflect = np.zeros((S, max_angles, W), dtype=np.float32)
+    dich_transmit = np.zeros((S, max_angles, W), dtype=np.float32)
+
+    for i, s in enumerate(surfaces):
+        if s is None:
+            continue
+        for name in surf:
+            surf[name][i] = interp_material_property(wavelengths,
+                                                     getattr(s, name))
+        surf_model[i] = s.model
+        surf_transmissive[i] = s.transmissive
+        surf_thickness[i] = s.thickness
+        if s.dichroic_props is not None:
+            dp = s.dichroic_props
+            na = len(dp.angles)
+            dich_nangles[i] = na
+            dich_angles[i, :na] = dp.angles
+            for a in range(na):
+                dich_reflect[i, a] = interp_material_property(
+                    wavelengths, dp.dichroic_reflect[a])
+                dich_transmit[i, a] = interp_material_property(
+                    wavelengths, dp.dichroic_transmit[a])
+
+    # ---- triangle material codes (reference ABI) ---------------------
+    material_codes = ((geometry.inner_material_index.astype(np.uint32)
+                       << np.uint32(24))
+                      | (geometry.outer_material_index.astype(np.uint32)
+                         << np.uint32(16))
+                      | ((geometry.surface_index.astype(np.uint32)
+                          & np.uint32(0xFF)) << np.uint32(8)))
+
+    bvh = geometry.bvh
+    if bvh is None:
+        raise ValueError('geometry has no BVH; call '
+                         'chroma_tpu.loader.create_geometry_from_obj')
+
+    solid_id_map = geometry.solid_id.astype(np.int32)
+
+    nodes_arr = from_uint4(bvh.nodes)
+    escape = compute_escape_pointers(nodes_arr)
+    tri_vertices = geometry.mesh.vertices[geometry.mesh.triangles]
+
+    return GeometryTables(
+        vertices=jnp.asarray(geometry.mesh.vertices, dtype=jnp.float32),
+        triangles=jnp.asarray(geometry.mesh.triangles, dtype=jnp.int32),
+        tri_vertices=jnp.asarray(tri_vertices, dtype=jnp.float32),
+        material_codes=jnp.asarray(material_codes),
+        colors=jnp.asarray(geometry.colors.astype(np.uint32)),
+        solid_id_map=jnp.asarray(solid_id_map),
+        nodes=jnp.asarray(nodes_arr),
+        escape=jnp.asarray(escape),
+        world_origin=jnp.asarray(bvh.world_coords.world_origin),
+        world_scale=jnp.asarray(bvh.world_coords.world_scale),
+        refractive_index=jnp.asarray(refractive_index),
+        absorption_length=jnp.asarray(absorption_length),
+        scattering_length=jnp.asarray(scattering_length),
+        num_comp=jnp.asarray(num_comp),
+        comp_reemission_prob=jnp.asarray(comp_prob),
+        comp_reemission_wvl_cdf=jnp.asarray(comp_wvl_cdf),
+        comp_reemission_time_cdf=jnp.asarray(comp_time_cdf),
+        comp_absorption_length=jnp.asarray(comp_abs),
+        surf_detect=jnp.asarray(surf['detect']),
+        surf_absorb=jnp.asarray(surf['absorb']),
+        surf_reemit=jnp.asarray(surf['reemit']),
+        surf_reflect_diffuse=jnp.asarray(surf['reflect_diffuse']),
+        surf_reflect_specular=jnp.asarray(surf['reflect_specular']),
+        surf_eta=jnp.asarray(surf['eta']),
+        surf_k=jnp.asarray(surf['k']),
+        surf_reemission_cdf=jnp.asarray(surf['reemission_cdf']),
+        surf_model=jnp.asarray(surf_model),
+        surf_transmissive=jnp.asarray(surf_transmissive),
+        surf_thickness=jnp.asarray(surf_thickness),
+        dichroic_angles=jnp.asarray(dich_angles),
+        dichroic_nangles=jnp.asarray(dich_nangles),
+        dichroic_reflect=jnp.asarray(dich_reflect),
+        dichroic_transmit=jnp.asarray(dich_transmit),
+        wavelength0=float(wavelengths[0]),
+        wavelength_step=wavelength_step,
+        nwavelengths=W,
+        time0=float(times[0]),
+        time_step=time_step,
+        ntimes=Tn,
+    )
+
+
+def pack_detector(detector, wavelengths=None, times=None):
+    """(GeometryTables, DetectorTables) for a flattened Detector."""
+    geom = pack_geometry(detector, wavelengths=wavelengths, times=times)
+    det = DetectorTables(
+        solid_id_to_channel_index=jnp.asarray(
+            np.asarray(detector.solid_id_to_channel_index, dtype=np.int32)),
+        time_cdf_x=jnp.asarray(detector.time_cdf[0], dtype=jnp.float32),
+        time_cdf_y=jnp.asarray(detector.time_cdf[1], dtype=jnp.float32),
+        charge_cdf_x=jnp.asarray(detector.charge_cdf[0], dtype=jnp.float32),
+        charge_cdf_y=jnp.asarray(detector.charge_cdf[1], dtype=jnp.float32),
+        nchannels=int(detector.num_channels()),
+    )
+    return geom, det
+
+
+def interp_property(tables, table, material_index, wavelength):
+    """Per-photon lookup of a (M,W) wavelength table at (index, lambda).
+
+    Uniform-grid clamp + lerp (reference: chroma/cuda/geometry.h:62).
+    ``table`` may also be (M,C,W) with a composite leading index."""
+    w0 = tables.wavelength0
+    dw = tables.wavelength_step
+    n = tables.nwavelengths
+    x = (wavelength - w0) / dw
+    x = jnp.clip(x, 0.0, n - 1.0)
+    jl = jnp.clip(x.astype(jnp.int32), 0, n - 2)
+    f = x - jl
+    lo = table[material_index, jl]
+    hi = table[material_index, jl + 1]
+    return lo + (hi - lo) * f
