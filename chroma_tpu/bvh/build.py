@@ -169,6 +169,13 @@ def collapse_chains(nodes, layer_bounds):
     return to_uint4(arr)
 
 
+def _intra_run(run_lengths):
+    """[0..k0-1, 0..k1-1, ...] for run lengths k."""
+    total = int(np.sum(run_lengths))
+    cum = np.cumsum(run_lengths)
+    return np.arange(total) - np.repeat(cum - run_lengths, run_lengths)
+
+
 def _count_unique_in_sorted(a):
     return int((np.ediff1d(a) > 0).sum()) + 1
 

@@ -51,6 +51,8 @@ class GeometryTables:
     escape: jnp.ndarray            # (N,)  u32 next-node-if-skip ("ropes")
     world_origin: jnp.ndarray      # (3,)  f32
     world_scale: jnp.ndarray       # ()    f32
+    # MBVH: wide fat-row tree, the production traversal structure
+    mbvh_rows: jnp.ndarray         # (R, ROW_WIDTH) u32
     # materials (M = #materials, C = max components, W/Tn = grid sizes)
     refractive_index: jnp.ndarray     # (M,W)
     absorption_length: jnp.ndarray    # (M,W)
@@ -84,6 +86,7 @@ class GeometryTables:
     time0: float = struct.field(pytree_node=False, default=0.0)
     time_step: float = struct.field(pytree_node=False, default=0.05)
     ntimes: int = struct.field(pytree_node=False, default=20000)
+    mbvh_depth: int = struct.field(pytree_node=False, default=8)
 
 
 @struct.dataclass
@@ -96,6 +99,33 @@ class DetectorTables:
     charge_cdf_x: jnp.ndarray               # (Lq,) f32
     charge_cdf_y: jnp.ndarray               # (Lq,) f32
     nchannels: int = struct.field(pytree_node=False, default=0)
+
+
+def _load_or_build_mbvh(geometry, material_codes):
+    """Build (or load from the BVH cache) the wide fat-row MBVH."""
+    from hashlib import md5 as _md5
+    from chroma_tpu.bvh.mbvh import build_mbvh
+    from chroma_tpu.cache import Cache
+
+    from chroma_tpu.bvh.mbvh import BRANCH, ROW_WIDTH
+    # cluster rows bake in material codes, so they join the cache key;
+    # the layout parameters version the format
+    name = 'mbvh%d_%d_' % (BRANCH, ROW_WIDTH) \
+        + _md5(np.ascontiguousarray(material_codes)).hexdigest()[:10]
+    try:
+        cache = Cache()
+        mesh_hash = geometry.mesh.md5()
+        if cache.exist_bvh(mesh_hash, name):
+            return cache.load_bvh(mesh_hash, name)
+    except Exception:
+        cache = None
+    mbvh = build_mbvh(geometry.mesh, material_codes=material_codes)
+    if cache is not None:
+        try:
+            cache.save_bvh(mbvh, mesh_hash, name)
+        except Exception:
+            pass
+    return mbvh
 
 
 ESCAPE_SENTINEL = np.uint32(0xFFFFFFFF)
@@ -126,6 +156,8 @@ def compute_escape_pointers(nodes_arr):
     done = np.zeros(n, dtype=bool)
     internal = nchild > 0
 
+    from chroma_tpu.bvh.build import _intra_run
+
     for _ in range(64):
         ready = np.flatnonzero(internal & known & ~done)
         if len(ready) == 0:
@@ -142,13 +174,6 @@ def compute_escape_pointers(nodes_arr):
         escape[child_ids] = esc
         known[child_ids] = True
     return escape
-
-
-def _intra_run(run_lengths):
-    """[0..k0-1, 0..k1-1, ...] for run lengths k."""
-    total = int(run_lengths.sum())
-    cum = np.cumsum(run_lengths)
-    return np.arange(total) - np.repeat(cum - run_lengths, run_lengths)
 
 
 def pack_geometry(geometry, wavelengths=None, times=None):
@@ -270,6 +295,8 @@ def pack_geometry(geometry, wavelengths=None, times=None):
     escape = compute_escape_pointers(nodes_arr)
     tri_vertices = geometry.mesh.vertices[geometry.mesh.triangles]
 
+    mbvh = _load_or_build_mbvh(geometry, material_codes)
+
     return GeometryTables(
         vertices=jnp.asarray(geometry.mesh.vertices, dtype=jnp.float32),
         triangles=jnp.asarray(geometry.mesh.triangles, dtype=jnp.int32),
@@ -279,6 +306,8 @@ def pack_geometry(geometry, wavelengths=None, times=None):
         solid_id_map=jnp.asarray(solid_id_map),
         nodes=jnp.asarray(nodes_arr),
         escape=jnp.asarray(escape),
+        mbvh_rows=jnp.asarray(mbvh.rows),
+        mbvh_depth=int(mbvh.depth) + 1,
         world_origin=jnp.asarray(bvh.world_coords.world_origin),
         world_scale=jnp.asarray(bvh.world_coords.world_scale),
         refractive_index=jnp.asarray(refractive_index),

@@ -1,0 +1,160 @@
+"""Lock-step MBVH traversal: one fat-row gather per step.
+
+This is the production traversal of the engine (the narrow escape-rope
+walker in chroma_tpu/ops/mesh.py is the validation fallback).  Per-ray
+state is a bitmask path: for each tree level, a pending-children
+bitmask and the first-child row id (children are consecutive, so the
+c-th pending child lives at base + c).  Every iteration:
+
+  1. find the deepest level with pending work (predicated scan over a
+     static depth — no ascend iterations, no stacks, no scatters);
+  2. pop the lowest pending bit, gather that child's row (the ONLY
+     gather of the step — everything else is VPU);
+  3. cluster rows: Moller-Trumbore all BRANCH pre-assembled triangles,
+     keep the closest (plus its geometric normal and material code so
+     the physics step needs no further triangle fetches);
+  4. internal rows: slab-test all BRANCH child AABBs (pruned against
+     the best hit) and push the hit mask one level deeper.
+
+All per-slot reductions use one-hot selects — fancy `[lane, idx]`
+indexing is an XLA gather in disguise and costs as much as an HBM row
+fetch (ARCHITECTURE.md).
+
+The reference equivalent is the per-thread stack walk of
+chroma/cuda/mesh.h:41 — re-engineered wholesale for a vector machine.
+"""
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from chroma_tpu.bvh.mbvh import (ROW_WIDTH, HDR_KIND, HDR_BASE, BOX_OFF,
+                                 VERT_OFF, TRI_ID_OFF, MAT_OFF, BRANCH)
+from chroma_tpu.ops.intersect import intersect_box, intersect_triangle
+
+MAX_LEVELS = 12
+
+
+@partial(jax.jit, static_argnames=('max_iters',))
+def intersect_mesh(origin, direction, geom, last_hit_triangle=None,
+                   max_iters=65536):
+    """Closest-hit intersection against the MBVH.
+
+    Args:
+      origin, direction: (N,3) f32, direction normalized.
+      geom: GeometryTables (with mbvh_rows).
+      last_hit_triangle: (N,) i32 triangle to skip, or None.
+
+    Returns dict with:
+      triangle: (N,) i32 (-1 = miss)
+      distance: (N,) f32 (inf on miss)
+      normal:   (N,3) f32 geometric normal (unnormalized cross product)
+      material_code: (N,) u32 packed material/surface code
+    """
+    n = origin.shape[0]
+    if last_hit_triangle is None:
+        last_hit_triangle = jnp.full(n, -1, jnp.int32)
+
+    rows = geom.mbvh_rows
+    depth = min(geom.mbvh_depth + 1, MAX_LEVELS)
+
+    inv_dir = 1.0 / direction
+    neg_origin_inv_dir = -origin * inv_dir
+
+    iota_d = jnp.arange(depth, dtype=jnp.int32)
+    slots = jnp.arange(BRANCH, dtype=jnp.int32)
+
+    masks0 = jnp.zeros((n, depth), jnp.uint32).at[:, 0].set(1)
+    state = dict(
+        masks=masks0,
+        bases=jnp.zeros((n, depth), jnp.uint32),
+        best_tri=jnp.full(n, -1, jnp.int32),
+        min_dist=jnp.full(n, jnp.inf, jnp.float32),
+        best_norm=jnp.zeros((n, 3), jnp.float32),
+        best_mat=jnp.zeros(n, jnp.uint32),
+        iters=jnp.zeros((), jnp.int32),
+    )
+
+    def cond(s):
+        return jnp.any(s['masks'] != 0) & (s['iters'] < max_iters)
+
+    def body(s):
+        masks, bases = s['masks'], s['bases']
+
+        # deepest level with pending children (predicated scan)
+        pending = masks != 0
+        active = jnp.any(pending, axis=1)
+        lvl = jnp.max(jnp.where(pending, iota_d[None, :], -1), axis=1)
+        onehot = iota_d[None, :] == lvl[:, None]
+
+        mask_l = jnp.sum(jnp.where(onehot, masks, 0), axis=1)
+        base_l = jnp.sum(jnp.where(onehot, bases, 0), axis=1)
+
+        low = mask_l & (~mask_l + jnp.uint32(1))    # lowest set bit
+        c = jax.lax.population_count(low - jnp.uint32(1))
+        masks = jnp.where(onehot & active[:, None], masks ^ low[:, None],
+                          masks)
+
+        ptr = jnp.where(active, base_l + c, 0)
+        row = rows[ptr]                         # THE gather, (N, ROW_WIDTH)
+
+        kind = row[:, HDR_KIND] & jnp.uint32(1)
+        count = (row[:, HDR_KIND] >> jnp.uint32(8)).astype(jnp.int32)
+        is_cluster = active & (kind == 1)
+        is_internal = active & (kind == 0)
+
+        # ---- cluster: test all pre-assembled triangles ---------------
+        verts = jax.lax.bitcast_convert_type(
+            row[:, VERT_OFF:VERT_OFF + 9 * BRANCH], jnp.float32) \
+            .reshape(n, BRANCH, 3, 3)
+        t_hit, t_dist = intersect_triangle(
+            origin[:, None, :], direction[:, None, :],
+            verts[:, :, 0], verts[:, :, 1], verts[:, :, 2])
+        tri_ids = row[:, TRI_ID_OFF:TRI_ID_OFF + BRANCH].astype(jnp.int32)
+        valid = (t_hit & (slots[None, :] < count[:, None])
+                 & (tri_ids != last_hit_triangle[:, None]))
+        t_dist = jnp.where(valid, t_dist, jnp.inf)
+        cl_dist = jnp.min(t_dist, axis=1)
+        best_slot = jnp.argmin(t_dist, axis=1)
+        oh_slot = (slots[None, :] == best_slot[:, None])
+
+        improved = is_cluster & (cl_dist < s['min_dist'])
+        pick_i32 = lambda arr: jnp.sum(jnp.where(oh_slot, arr, 0), axis=1)
+        best_tri = jnp.where(improved, pick_i32(tri_ids), s['best_tri'])
+        min_dist = jnp.where(improved, cl_dist, s['min_dist'])
+        bv = jnp.sum(jnp.where(oh_slot[:, :, None, None], verts, 0.0),
+                     axis=1)                       # (N,3,3)
+        norm_new = jnp.cross(bv[:, 1] - bv[:, 0], bv[:, 2] - bv[:, 1])
+        best_norm = jnp.where(improved[:, None], norm_new, s['best_norm'])
+        mats = row[:, MAT_OFF:MAT_OFF + BRANCH]
+        best_mat = jnp.where(improved, pick_i32(mats), s['best_mat'])
+
+        # ---- internal: slab-test all child boxes ---------------------
+        packed = row[:, BOX_OFF:BOX_OFF + 3 * BRANCH].reshape(n, BRANCH, 3)
+        lo = (packed & jnp.uint32(0xFFFF)).astype(jnp.float32)
+        hi = (packed >> jnp.uint32(16)).astype(jnp.float32)
+        lower = geom.world_origin + lo * geom.world_scale
+        upper = geom.world_origin + hi * geom.world_scale
+        b_hit, b_dist = intersect_box(neg_origin_inv_dir[:, None, :],
+                                      inv_dir[:, None, :], lower, upper)
+        b_ok = b_hit & (b_dist <= min_dist[:, None]) \
+            & (slots[None, :] < count[:, None])
+        hitmask = jnp.sum(
+            jnp.where(b_ok,
+                      jnp.uint32(1) << slots[None, :].astype(jnp.uint32),
+                      jnp.uint32(0)), axis=1).astype(jnp.uint32)
+
+        push = is_internal & (hitmask != 0) & (lvl + 1 < depth)
+        onehot_child = iota_d[None, :] == (lvl + 1)[:, None]
+        masks = jnp.where(onehot_child & push[:, None], hitmask[:, None],
+                          masks)
+        bases = jnp.where(onehot_child & push[:, None],
+                          row[:, HDR_BASE][:, None], bases)
+
+        return dict(masks=masks, bases=bases, best_tri=best_tri,
+                    min_dist=min_dist, best_norm=best_norm,
+                    best_mat=best_mat, iters=s['iters'] + 1)
+
+    out = jax.lax.while_loop(cond, body, state)
+    return dict(triangle=out['best_tri'], distance=out['min_dist'],
+                normal=out['best_norm'], material_code=out['best_mat'])
