@@ -253,6 +253,30 @@ class Material(_WavelengthProperty):
         self.density = 0.0      # g/cm^3
         self.composition = {}   # fraction by mass
 
+    def add_reemission_component(self, reemission_prob, wvl_cdf,
+                                 time_cdf=None, absorption_length=None):
+        """Register one scintillation/WLS component.
+
+        Each argument is an (n,2) array of (wavelength-or-time, value):
+        ``reemission_prob`` the reemit-given-absorbed probability,
+        ``wvl_cdf`` the reemission wavelength CDF, ``time_cdf`` the
+        reemission time-delay CDF (default: prompt), and
+        ``absorption_length`` the component's partial absorption length
+        (default: the material's total absorption length).
+        """
+        if time_cdf is None:
+            time_cdf = np.array([[0.0, 0.0], [1e-4, 1.0]])
+        if absorption_length is None:
+            absorption_length = self.absorption_length
+        self.comp_reemission_prob.append(
+            np.asarray(reemission_prob, dtype=np.float32))
+        self.comp_reemission_wvl_cdf.append(
+            np.asarray(wvl_cdf, dtype=np.float32))
+        self.comp_reemission_time_cdf.append(
+            np.asarray(time_cdf, dtype=np.float32))
+        self.comp_absorption_length.append(
+            np.asarray(absorption_length, dtype=np.float32))
+
     def __repr__(self):
         return '<Material %s>' % self.name
 

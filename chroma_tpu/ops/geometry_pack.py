@@ -79,6 +79,12 @@ class GeometryTables:
     dichroic_nangles: jnp.ndarray      # (S,)  i32
     dichroic_reflect: jnp.ndarray      # (S,A,W)
     dichroic_transmit: jnp.ndarray     # (S,A,W)
+    # inverse CDFs on a uniform u-grid (one gather + lerp per sample,
+    # replacing the reference's per-sample binary search
+    # chroma/cuda/random.h sample_cdf)
+    comp_reemission_wvl_icdf: jnp.ndarray   # (M,C,NU)
+    comp_reemission_time_icdf: jnp.ndarray  # (M,C,NU)
+    surf_reemission_icdf: jnp.ndarray       # (S,NU)
     # static uniform-grid parameters
     wavelength0: float = struct.field(pytree_node=False, default=60.0)
     wavelength_step: float = struct.field(pytree_node=False, default=5.0)
@@ -87,6 +93,14 @@ class GeometryTables:
     time_step: float = struct.field(pytree_node=False, default=0.05)
     ntimes: int = struct.field(pytree_node=False, default=20000)
     mbvh_depth: int = struct.field(pytree_node=False, default=8)
+    nu: int = struct.field(pytree_node=False, default=2048)
+    # static capability flags: jit specializes away unused physics
+    has_reemission: bool = struct.field(pytree_node=False, default=False)
+    has_surfaces: bool = struct.field(pytree_node=False, default=False)
+    has_complex: bool = struct.field(pytree_node=False, default=False)
+    has_wls: bool = struct.field(pytree_node=False, default=False)
+    has_dichroic: bool = struct.field(pytree_node=False, default=False)
+    max_comp: int = struct.field(pytree_node=False, default=1)
 
 
 @struct.dataclass
@@ -98,7 +112,39 @@ class DetectorTables:
     time_cdf_y: jnp.ndarray                 # (Lt,) f32
     charge_cdf_x: jnp.ndarray               # (Lq,) f32
     charge_cdf_y: jnp.ndarray               # (Lq,) f32
+    time_icdf: jnp.ndarray                  # (NU,) f32
+    charge_icdf: jnp.ndarray                # (NU,) f32
+    charge_unit: jnp.ndarray                # ()    f32
     nchannels: int = struct.field(pytree_node=False, default=0)
+
+
+N_ICDF = 2048
+_UGRID = np.linspace(0.0, 1.0, N_ICDF).astype(np.float32)
+
+
+def inverse_cdf(cdf_x, cdf_y, ugrid=_UGRID):
+    """Tabulate the inverse of a CDF (cdf_y monotonic on cdf_x) on a
+    uniform u-grid, so sampling is one gather + lerp."""
+    cdf_x = np.asarray(cdf_x, dtype=np.float64)
+    cdf_y = np.asarray(cdf_y, dtype=np.float64)
+    # guard degenerate/flat CDFs
+    if cdf_y[-1] <= 0:
+        return np.full(len(ugrid), cdf_x[0], dtype=np.float32)
+    y = cdf_y / cdf_y[-1]
+    return np.interp(ugrid, y, cdf_x).astype(np.float32)
+
+
+def sample_icdf(icdf, u):
+    """Draw from a tabulated inverse CDF: icdf (..., NU), u in [0,1)."""
+    nu = icdf.shape[-1]
+    x = u * (nu - 1)
+    j = jnp.clip(x.astype(jnp.int32), 0, nu - 2)
+    f = x - j
+    lo = jnp.take_along_axis(icdf, j[..., None], axis=-1)[..., 0] \
+        if icdf.ndim > 1 else icdf[j]
+    hi = jnp.take_along_axis(icdf, (j + 1)[..., None], axis=-1)[..., 0] \
+        if icdf.ndim > 1 else icdf[j + 1]
+    return lo + (hi - lo) * f
 
 
 def _load_or_build_mbvh(geometry, material_codes):
@@ -276,6 +322,17 @@ def pack_geometry(geometry, wavelengths=None, times=None):
                 dich_transmit[i, a] = interp_material_property(
                     wavelengths, dp.dichroic_transmit[a])
 
+    # ---- inverse CDF tables ----------------------------------------
+    comp_wvl_icdf = np.zeros((M, max_comp, N_ICDF), dtype=np.float32)
+    comp_time_icdf = np.zeros((M, max_comp, N_ICDF), dtype=np.float32)
+    for i in range(M):
+        for c in range(int(num_comp[i])):
+            comp_wvl_icdf[i, c] = inverse_cdf(wavelengths, comp_wvl_cdf[i, c])
+            comp_time_icdf[i, c] = inverse_cdf(times, comp_time_cdf[i, c])
+    surf_icdf = np.zeros((S, N_ICDF), dtype=np.float32)
+    for i in range(S):
+        surf_icdf[i] = inverse_cdf(wavelengths, surf['reemission_cdf'][i])
+
     # ---- triangle material codes (reference ABI) ---------------------
     material_codes = ((geometry.inner_material_index.astype(np.uint32)
                        << np.uint32(24))
@@ -333,12 +390,22 @@ def pack_geometry(geometry, wavelengths=None, times=None):
         dichroic_nangles=jnp.asarray(dich_nangles),
         dichroic_reflect=jnp.asarray(dich_reflect),
         dichroic_transmit=jnp.asarray(dich_transmit),
+        comp_reemission_wvl_icdf=jnp.asarray(comp_wvl_icdf),
+        comp_reemission_time_icdf=jnp.asarray(comp_time_icdf),
+        surf_reemission_icdf=jnp.asarray(surf_icdf),
         wavelength0=float(wavelengths[0]),
         wavelength_step=wavelength_step,
         nwavelengths=W,
         time0=float(times[0]),
         time_step=time_step,
         ntimes=Tn,
+        nu=N_ICDF,
+        has_reemission=bool((num_comp > 0).any()),
+        has_surfaces=bool((geometry.surface_index >= 0).any()),
+        has_complex=bool((surf_model == 1).any()),
+        has_wls=bool((surf_model == 2).any()),
+        has_dichroic=bool((surf_model == 3).any()),
+        max_comp=max_comp,
     )
 
 
@@ -352,6 +419,13 @@ def pack_detector(detector, wavelengths=None, times=None):
         time_cdf_y=jnp.asarray(detector.time_cdf[1], dtype=jnp.float32),
         charge_cdf_x=jnp.asarray(detector.charge_cdf[0], dtype=jnp.float32),
         charge_cdf_y=jnp.asarray(detector.charge_cdf[1], dtype=jnp.float32),
+        time_icdf=jnp.asarray(inverse_cdf(detector.time_cdf[0],
+                                          detector.time_cdf[1])),
+        charge_icdf=jnp.asarray(inverse_cdf(detector.charge_cdf[0],
+                                            detector.charge_cdf[1])),
+        # same quantization convention as the reference DAQ
+        # (chroma/gpu/detector.py: charge_cdf_x[-1] / 2**16)
+        charge_unit=jnp.float32(detector.charge_cdf[0][-1] / 2 ** 16),
         nchannels=int(detector.num_channels()),
     )
     return geom, det

@@ -1,12 +1,16 @@
 """Test configuration: force the CPU backend with a virtual 8-device
-mesh so sharding tests run anywhere, before jax initializes."""
+mesh so sharding tests run anywhere, before jax initializes.
+
+Note: this environment's sitecustomize registers a TPU ('axon')
+backend that wins over JAX_PLATFORMS env vars, so the platform is
+forced through jax.config instead."""
 import os
 
-os.environ.setdefault('JAX_PLATFORMS', 'cpu')
-flags = os.environ.get('XLA_FLAGS', '')
-if 'xla_force_host_platform_device_count' not in flags:
-    os.environ['XLA_FLAGS'] = (
-        flags + ' --xla_force_host_platform_device_count=8').strip()
+os.environ['JAX_PLATFORMS'] = 'cpu'
+import jax  # noqa: E402
+
+jax.config.update('jax_platforms', 'cpu')
+jax.config.update('jax_num_cpu_devices', 8)
 # keep test caches out of the user's real cache
 os.environ.setdefault('CHROMA_TPU_CACHE', '/tmp/chroma_tpu_test_cache')
 

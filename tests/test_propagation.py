@@ -1,0 +1,233 @@
+"""Propagation physics: statistical ports of the reference tests
+(reference: test/test_propagation.py, test_rayleigh.py,
+test_reemission.py) plus Fresnel/surface checks the reference lacked.
+All run on the CPU backend with modest photon counts."""
+import numpy as np
+import pytest
+
+import tests.conftest  # noqa: F401
+import jax
+import jax.numpy as jnp
+
+from chroma_tpu import event, make
+from chroma_tpu.geometry import Solid, Geometry, Surface, Material, vacuum
+from chroma_tpu.demo.optics import water
+from chroma_tpu.loader import create_geometry_from_obj
+from chroma_tpu.ops.geometry_pack import pack_geometry
+from chroma_tpu.ops import photon as gpu_photon
+
+
+def run(geom, photons, key=0, max_steps=10, **kw):
+    state = gpu_photon.upload_photons(photons)
+    out, steps = gpu_photon.propagate(state, geom,
+                                      jax.random.PRNGKey(key),
+                                      max_steps=max_steps, **kw)
+    return gpu_photon.download_photons(out)
+
+
+def axis_photons(n, wavelength=400.0):
+    pos = np.zeros((n, 3), dtype=np.float32)
+    dir = np.tile([0, 0, 1], (n, 1)).astype(np.float32)
+    phi = np.random.RandomState(5).uniform(0, 2 * np.pi, n)
+    pol = np.zeros_like(pos)
+    pol[:, 0] = np.cos(phi)
+    pol[:, 1] = np.sin(phi)
+    return event.Photons(pos=pos, dir=dir, pol=pol,
+                         wavelengths=np.full(n, wavelength, np.float32))
+
+
+@pytest.fixture(scope='module')
+def vacuum_box():
+    cube = Geometry(vacuum)
+    cube.add_solid(Solid(make.box(100, 100, 100), vacuum, vacuum))
+    geo = create_geometry_from_obj(cube, update_bvh_cache=False)
+    return pack_geometry(geo)
+
+
+@pytest.fixture(scope='module')
+def water_box():
+    cube = Geometry(water)
+    cube.add_solid(Solid(make.box(100, 100, 100), water, water))
+    geo = create_geometry_from_obj(cube, update_bvh_cache=False)
+    return pack_geometry(geo)
+
+
+def test_abort(vacuum_box):
+    """Normal-incidence photons must never NaN-abort (reference:
+    test_propagation.py testAbort)."""
+    photons = axis_photons(2000)
+    p1 = run(vacuum_box, photons, max_steps=1)
+    for arr in (p1.pos, p1.dir, p1.pol, p1.t, p1.wavelengths):
+        assert not np.isnan(arr).any()
+    p10 = run(vacuum_box, photons, max_steps=10)
+    aborted = (p10.flags & event.NAN_ABORT) > 0
+    assert not aborted.any()
+
+
+def test_all_terminate_in_vacuum_box(vacuum_box):
+    """In a surface-less vacuum box every photon eventually leaves
+    (NO_HIT) — and the time of flight matches the geometry."""
+    photons = axis_photons(500)
+    p = run(vacuum_box, photons, max_steps=10)
+    assert ((p.flags & event.NO_HIT) > 0).all()
+
+
+def test_time_of_flight(water_box):
+    """Photon time accumulates distance * n / c (photon.h:236)."""
+    photons = axis_photons(100)
+    p = run(water_box, photons, max_steps=1)
+    # first wall at z=50mm; n(400nm) in our water model
+    from chroma_tpu.demo.optics import water_refractive_index
+    n = water_refractive_index(400.0)
+    # photons that made it to the wall without scattering/absorbing
+    straight = (p.flags & (event.RAYLEIGH_SCATTER | event.BULK_ABSORB)) == 0
+    assert straight.sum() > 50
+    np.testing.assert_allclose(p.t[straight], 50.0 * n / 299.792458,
+                               rtol=1e-4)
+
+
+@pytest.fixture(scope='module')
+def scatter_box():
+    scatterer = Material('scatterer')
+    scatterer.set('refractive_index', 1.33)
+    scatterer.set('absorption_length', 1e9)
+    scatterer.set('scattering_length', 50.0)  # mm: most photons scatter
+    cube = Geometry(scatterer)
+    cube.add_solid(Solid(make.box(100, 100, 100), scatterer, scatterer))
+    geo = create_geometry_from_obj(cube, update_bvh_cache=False)
+    return pack_geometry(geo)
+
+
+def test_rayleigh_angular_distribution(scatter_box):
+    """Polarized Rayleigh scattering follows (1+cos^2) (reference:
+    test_rayleigh.py, GEANT4 physics reference manual)."""
+    n = 40000
+    photons = axis_photons(n)
+    photons.pol[:] = [1.0, 0.0, 0.0]
+    p = run(scatter_box, photons, max_steps=1, key=3)
+    scattered = (p.flags & event.RAYLEIGH_SCATTER) > 0
+    assert scattered.sum() > 500
+    cos_scatter = (photons.dir[scattered] * p.dir[scattered]).sum(axis=1)
+    # chi^2 against the analytic density rho(c) = 3/8 (1 + c^2)
+    hist, edges = np.histogram(cos_scatter, bins=20, range=(-1, 1))
+    centers = 0.5 * (edges[1:] + edges[:-1])
+    expected = 3.0 / 8.0 * (1 + centers ** 2)
+    expected = expected / expected.sum() * hist.sum()
+    chi2 = ((hist - expected) ** 2 / expected).sum()
+    # 20 bins, ~19 dof: chi2 beyond ~45 is p < 1e-3
+    assert chi2 < 45.0, chi2
+
+
+def test_bulk_reemission_spectrum():
+    """Wavelength-shifted photons follow the reemission CDF (reference:
+    test_reemission.py testBulkReemission)."""
+    from scipy import stats as sstats
+
+    # NOTE: the reference test (skipped there) uses a 1 mm absorption
+    # length inside a 500 mm sphere, which needs ~1e5 random-walk steps
+    # to escape; we use parameters that terminate in a few steps.
+    scint = Material('scint')
+    scint.set('refractive_index', 1.0)
+    scint.set('absorption_length', 200.0)
+    scint.set('scattering_length', 1e7)
+    x = np.arange(0, 1000, 10.0)
+    cdf = sstats.norm(scale=50, loc=600).cdf(x)
+    scint.add_reemission_component(
+        reemission_prob=np.column_stack([x, np.ones_like(x)]),
+        wvl_cdf=np.column_stack([x, cdf]))
+
+    detector_surf = Surface('detector')
+    detector_surf.set('detect', 1)
+
+    world = Geometry(vacuum)
+    world.add_solid(Solid(make.sphere(1000, nsteps=32), vacuum, vacuum,
+                          surface=detector_surf))
+    world.add_solid(Solid(make.sphere(100, nsteps=32), scint, vacuum))
+    geo = create_geometry_from_obj(world, update_bvh_cache=False)
+    geom = pack_geometry(geo)
+
+    n = 20000
+    rng = np.random.RandomState(0)
+    dir = rng.normal(size=(n, 3)).astype(np.float32)
+    dir /= np.linalg.norm(dir, axis=1)[:, None]
+    photons = event.Photons(pos=np.zeros((n, 3), np.float32), dir=dir,
+                            pol=np.cross(rng.normal(size=(n, 3)), dir),
+                            wavelengths=np.full(n, 250.0, np.float32))
+    p = run(geom, photons, max_steps=20, key=7)
+    detected = (p.flags & event.SURFACE_DETECT) > 0
+    reemitted = (p.flags & event.BULK_REEMIT) > 0
+    assert (reemitted & detected).sum() > 2000
+    wl = p.wavelengths[detected & reemitted]
+    # KS test against the normal reemission spectrum
+    ks = sstats.kstest(wl, sstats.norm(scale=50, loc=600).cdf)
+    assert ks.pvalue > 1e-3, ks
+
+
+def test_fresnel_normal_incidence():
+    """Reflectance at normal incidence = ((n1-n2)/(n1+n2))^2 = 4%
+    for n2=1.5 (photon.h:310)."""
+    glass = Material('glassy')
+    glass.set('refractive_index', 1.5)
+    glass.set('absorption_length', 1e-3)  # absorb as soon as inside
+    glass.set('scattering_length', 1e9)
+
+    world = Geometry(vacuum)
+    world.add_solid(Solid(make.box(1000, 1000, 1000), vacuum, vacuum))
+    world.add_solid(Solid(make.box(100, 100, 100), glass, vacuum,
+                          color=0xff0000), displacement=(0, 0, 200))
+    geo = create_geometry_from_obj(world, update_bvh_cache=False)
+    geom = pack_geometry(geo)
+
+    n = 20000
+    photons = axis_photons(n)
+    p = run(geom, photons, max_steps=3, key=11)
+    reflected = (p.flags & event.REFLECT_SPECULAR) > 0
+    frac = reflected.mean()
+    expect = ((1.0 - 1.5) / (1.0 + 1.5)) ** 2
+    assert abs(frac - expect) < 0.01, (frac, expect)
+
+
+def test_default_surface_outcomes():
+    """DEFAULT surface model outcome fractions (photon.h:684)."""
+    surf = Surface('mixed')
+    surf.set('detect', 0.2)
+    surf.set('absorb', 0.3)
+    surf.set('reflect_diffuse', 0.4)
+    surf.set('reflect_specular', 0.1)
+
+    world = Geometry(vacuum)
+    world.add_solid(Solid(make.box(100, 100, 100), vacuum, vacuum,
+                          surface=surf))
+    geo = create_geometry_from_obj(world, update_bvh_cache=False)
+    geom = pack_geometry(geo)
+
+    n = 20000
+    photons = axis_photons(n)
+    p = run(geom, photons, max_steps=1, key=13)
+    frac = lambda bit: ((p.flags & bit) > 0).mean()
+    assert abs(frac(event.SURFACE_DETECT) - 0.2) < 0.02
+    assert abs(frac(event.SURFACE_ABSORB) - 0.3) < 0.02
+    assert abs(frac(event.REFLECT_DIFFUSE) - 0.4) < 0.02
+    assert abs(frac(event.REFLECT_SPECULAR) - 0.1) < 0.02
+
+
+def test_diffuse_reflection_cosine():
+    """Diffuse reflections are cosine-weighted about the normal."""
+    surf = Surface('white')
+    surf.set('reflect_diffuse', 1.0)
+    world = Geometry(vacuum)
+    world.add_solid(Solid(make.box(100, 100, 100), vacuum, vacuum,
+                          surface=surf))
+    geo = create_geometry_from_obj(world, update_bvh_cache=False)
+    geom = pack_geometry(geo)
+
+    n = 20000
+    photons = axis_photons(n)
+    p = run(geom, photons, max_steps=1, key=17)
+    refl = (p.flags & event.REFLECT_DIFFUSE) > 0
+    assert refl.sum() > n * 0.95
+    # photons hit +z wall; reflected direction z-component ~ -cos
+    cosr = -p.dir[refl][:, 2]
+    assert (cosr > 0).all()
+    # cosine-weighted: E[cos] = 2/3
+    assert abs(cosr.mean() - 2.0 / 3.0) < 0.01
