@@ -41,7 +41,7 @@ def main():
     gpu_geometry = gpu.GPUDetector(geo) \
         if hasattr(geo, 'num_channels') else gpu.GPUGeometry(geo)
 
-    nphotons = int(os.environ.get('BENCH_NPHOTONS', 1 << 19))
+    nphotons = int(os.environ.get('BENCH_NPHOTONS', 1 << 18))
     rates = propagate(gpu_geometry, number=4, nphotons=nphotons,
                       max_steps=100)
     value = float(np.mean(rates[1:]))

@@ -73,26 +73,63 @@ def _coarsen_group(morton_codes, nnodes, target_degree):
     return first_child, nchild, codes
 
 
+def _leaf_data(mesh):
+    """(world_coords, lo (T,3) u32, hi (T,3) u32, morton (T,) u64),
+    preferring the native C++ helper (csrc/chroma_native.cc)."""
+    from chroma_tpu.bvh.bvh import WorldCoords
+    from chroma_tpu import native
+
+    vertices = mesh.vertices
+    world_origin = vertices.min(axis=0)
+    world_scale = float(np.max(vertices.max(axis=0) - world_origin)
+                        / (2 ** 16 - 2))
+    wc = WorldCoords(world_origin=world_origin, world_scale=world_scale)
+
+    nat = native.quantize_and_morton(vertices, mesh.triangles,
+                                     world_origin, world_scale)
+    if nat is not None:
+        lo, hi, morton = nat
+        return wc, lo, hi, morton
+
+    # numpy fallback (same math as create_leaf_nodes, unpacked)
+    tv = vertices[mesh.triangles]
+    lower = tv.min(axis=1)
+    upper = tv.max(axis=1)
+    centroid = tv.mean(axis=1)
+
+    def quantize(v):
+        return ((v - world_origin) / world_scale).astype(np.uint32)
+
+    lo = quantize(lower)
+    lo[lo > 0] -= 1
+    hi = quantize(upper) + 1
+    from chroma_tpu.bvh.build import morton_codes_3d
+    morton = morton_codes_3d(quantize(centroid))
+    return wc, lo, hi, morton
+
+
 def build_mbvh(mesh, material_codes=None, target_degree=TARGET_DEGREE):
     """Build an MBVH over ``mesh``.
 
     ``material_codes``: optional (T,) uint32 per-triangle packed
     material/surface codes baked into cluster rows (zeros if omitted).
     """
+    from chroma_tpu import native
+
     tv_all = mesh.vertices[mesh.triangles].astype(np.float32)  # (T,3,3)
     ntris = len(mesh.triangles)
     if material_codes is None:
         material_codes = np.zeros(ntris, dtype=np.uint32)
     material_codes = np.asarray(material_codes, dtype=np.uint32)
 
-    world_coords, leaves, morton = create_leaf_nodes(mesh)
-    order = np.argsort(morton, kind='stable')
+    world_coords, cur_lo, cur_hi, morton = _leaf_data(mesh)
+    order = native.radix_argsort_u64(morton)
+    if order is None:
+        order = np.argsort(morton, kind='stable')
     morton = morton[order]
     tri_order = order.astype(np.int64)           # leaf i -> triangle id
-
-    leaves_arr = leaves.view(np.uint32).reshape(-1, 4)[order]
-    cur_lo = np.stack([leaves_arr[:, k] & 0xFFFF for k in range(3)], axis=1)
-    cur_hi = np.stack([leaves_arr[:, k] >> 16 for k in range(3)], axis=1)
+    cur_lo = cur_lo[order]
+    cur_hi = cur_hi[order]
 
     # ---- grouping rounds (bottom-up) --------------------------------
     groupings = []          # (first_child, nchild) per round
@@ -100,11 +137,21 @@ def build_mbvh(mesh, material_codes=None, target_degree=TARGET_DEGREE):
     n = ntris
     codes = morton
     while n > 1:
-        first_child, nchild, codes_used = _coarsen_group(
-            codes, n, target_degree)
+        nat = native.coarsen_group(codes, target_degree, BRANCH)
+        if nat is not None:
+            first_child, codes_used = nat
+            nchild = np.ediff1d(first_child,
+                                to_end=n - first_child[-1]).astype(np.int64)
+        else:
+            first_child, nchild, codes_used = _coarsen_group(
+                codes, n, target_degree)
         groupings.append((first_child, nchild))
-        cur_lo = np.minimum.reduceat(cur_lo, first_child, axis=0)
-        cur_hi = np.maximum.reduceat(cur_hi, first_child, axis=0)
+        seg = native.segment_min_max(cur_lo, cur_hi, first_child, nchild)
+        if seg is not None:
+            cur_lo, cur_hi = seg
+        else:
+            cur_lo = np.minimum.reduceat(cur_lo, first_child, axis=0)
+            cur_hi = np.maximum.reduceat(cur_hi, first_child, axis=0)
         layer_lo.append(cur_lo)
         layer_hi.append(cur_hi)
         codes = codes_used[first_child]

@@ -222,7 +222,14 @@ def compute_escape_pointers(nodes_arr):
     return escape
 
 
-def pack_geometry(geometry, wavelengths=None, times=None):
+# geometries beyond this triangle count only ship the MBVH (the
+# narrow escape-rope walker tables would cost ~65 B/triangle of HBM
+# and are only used for validation on small meshes)
+LEGACY_WALKER_MAX_TRIANGLES = 2_000_000
+
+
+def pack_geometry(geometry, wavelengths=None, times=None,
+                  include_legacy_bvh=None):
     """Pack a flattened Geometry (with .bvh set) into GeometryTables."""
     if wavelengths is None:
         wavelengths = standard_wavelengths
@@ -348,9 +355,17 @@ def pack_geometry(geometry, wavelengths=None, times=None):
 
     solid_id_map = geometry.solid_id.astype(np.int32)
 
-    nodes_arr = from_uint4(bvh.nodes)
-    escape = compute_escape_pointers(nodes_arr)
-    tri_vertices = geometry.mesh.vertices[geometry.mesh.triangles]
+    if include_legacy_bvh is None:
+        include_legacy_bvh = (len(geometry.mesh.triangles)
+                              <= LEGACY_WALKER_MAX_TRIANGLES)
+    if include_legacy_bvh:
+        nodes_arr = from_uint4(bvh.nodes)
+        escape = compute_escape_pointers(nodes_arr)
+        tri_vertices = geometry.mesh.vertices[geometry.mesh.triangles]
+    else:
+        nodes_arr = np.zeros((1, 4), dtype=np.uint32)
+        escape = np.zeros(1, dtype=np.uint32)
+        tri_vertices = np.zeros((1, 3, 3), dtype=np.float32)
 
     mbvh = _load_or_build_mbvh(geometry, material_codes)
 
