@@ -160,7 +160,7 @@ class GPUPhotons(object):
             else rng_states
         geom = gpu_geometry.geom
         if not track:
-            self.state, steps = photon_ops.propagate(
+            self.state, steps = photon_ops.propagate_compacting(
                 self.state, geom, key, max_steps=max_steps,
                 use_weights=use_weights, scatter_first=scatter_first)
             self.last_steps = int(steps)

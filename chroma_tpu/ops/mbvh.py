@@ -37,7 +37,7 @@ MAX_LEVELS = 12
 
 @partial(jax.jit, static_argnames=('max_iters',))
 def intersect_mesh(origin, direction, geom, last_hit_triangle=None,
-                   max_iters=65536):
+                   active=None, max_iters=65536):
     """Closest-hit intersection against the MBVH.
 
     Args:
@@ -64,7 +64,12 @@ def intersect_mesh(origin, direction, geom, last_hit_triangle=None,
     iota_d = jnp.arange(depth, dtype=jnp.int32)
     slots = jnp.arange(BRANCH, dtype=jnp.int32)
 
-    masks0 = jnp.zeros((n, depth), jnp.uint32).at[:, 0].set(1)
+    # rays with active=False never start traversing: they gather row 0
+    # every iteration (coherent, cheap) and return a miss — essential
+    # when most of a propagating batch has already terminated
+    start = jnp.uint32(1) if active is None \
+        else active.astype(jnp.uint32)
+    masks0 = jnp.zeros((n, depth), jnp.uint32).at[:, 0].set(start)
     state = dict(
         masks=masks0,
         bases=jnp.zeros((n, depth), jnp.uint32),

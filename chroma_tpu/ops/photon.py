@@ -107,3 +107,65 @@ def propagate(state, geom, key, max_steps=100, use_weights=False,
     state, steps, _ = jax.lax.while_loop(
         cond, body, (state, jnp.zeros((), jnp.int32), key))
     return state, steps
+
+
+def _next_pow2(n):
+    return 1 << max(int(np.ceil(np.log2(max(n, 1)))), 0)
+
+
+def propagate_compacting(state, geom, key, max_steps=100,
+                         use_weights=False, scatter_first=0,
+                         steps_per_round=1, min_bucket=8192):
+    """Host-driven wavefront propagation with live-photon compaction.
+
+    The reference keeps its batch dense with double-buffered work
+    queues compacted by atomic appends (reference:
+    chroma/gpu/photon.py:192-259).  Under jit, shapes are static, so
+    instead: photons are kept Morton-sorted with terminated photons at
+    the back, and each round runs ``steps_per_round`` steps on only the
+    smallest power-of-two prefix that covers the live photons.  Work
+    shrinks with the surviving population — the classic wavefront
+    scheme — at the cost of one host sync per round and one compile per
+    (bucket, round-size) pair.
+    """
+    n = state['pos'].shape[0]
+    world_origin = geom.world_origin
+    inv_extent = 1.0 / (geom.world_scale * 65535.0)
+
+    total_steps = 0
+    first = True
+    while total_steps < max_steps:
+        # sort so live photons form a prefix (dead sort to the end)
+        state, _ = _sort_jit(state, geom)
+        alive = int(_count_alive_jit(state))
+        if alive == 0:
+            break
+        bucket = min(_next_pow2(max(alive, min_bucket)), n)
+        sub = {k: v[:bucket] for k, v in state.items()}
+        key, sk = jax.random.split(key)
+        sf = scatter_first if first else 0
+        rounds = min(steps_per_round, max_steps - total_steps)
+        sub, _ = propagate(sub, geom, sk, max_steps=rounds,
+                           use_weights=use_weights, scatter_first=sf,
+                           sort_every=1)
+        if bucket == n:
+            state = sub
+        else:
+            state = {k: jnp.concatenate([sub[k], v[bucket:]])
+                     for k, v in state.items()}
+        total_steps += rounds
+        first = False
+    return state, total_steps
+
+
+@partial(jax.jit)
+def _count_alive_jit(state):
+    alive = (state['flags'] & jnp.uint32(event.TERMINAL_FLAGS)) == 0
+    return jnp.sum(alive)
+
+
+@partial(jax.jit)
+def _sort_jit(state, geom):
+    world_origin = geom.world_origin
+    inv_extent = 1.0 / (geom.world_scale * 65535.0)
+    return sort_photons(state, world_origin, inv_extent)

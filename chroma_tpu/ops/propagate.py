@@ -249,7 +249,7 @@ def propagate_step(state, geom, key, scatter_first, use_weights=False):
 
     # ---- fill_state: closest hit + material decode -------------------
     res = mbvh.intersect_mesh(state['pos'], state['dir'], geom,
-                              state['last_hit_triangle'])
+                              state['last_hit_triangle'], active=alive)
     tri = res['triangle']
     d_bound = res['distance']
     hit = alive & (tri >= 0)

@@ -1,0 +1,143 @@
+"""GDML/RATDB loader tests on a small hand-written detector."""
+import json
+import textwrap
+
+import numpy as np
+import pytest
+
+import tests.conftest  # noqa: F401
+
+from chroma_tpu.rat import RATGeoLoader, RatDBParser
+
+GDML = textwrap.dedent("""\
+<?xml version="1.0" encoding="UTF-8" standalone="no" ?>
+<gdml>
+  <define>
+    <position name="pmtpos" unit="mm" x="0" y="0" z="400"/>
+    <rotation name="norot" unit="deg" x="0" y="0" z="0"/>
+    <matrix name="RI_WATER" coldim="2"
+            values="1.5e-06 1.33 5.0e-06 1.36"/>
+    <matrix name="ABS_WATER" coldim="2"
+            values="1.5e-06 50000 5.0e-06 20000"/>
+    <matrix name="REFL" coldim="2" values="1.5e-06 0.9 5.0e-06 0.9"/>
+  </define>
+  <materials>
+    <material name="water">
+      <D value="1.0" unit="g/cm3"/>
+      <fraction n="1.0" ref="H2O"/>
+      <property name="RINDEX" ref="RI_WATER"/>
+      <property name="ABSLENGTH" ref="ABS_WATER"/>
+    </material>
+    <material name="steel">
+      <D value="8.0" unit="g/cm3"/>
+      <fraction n="1.0" ref="Fe"/>
+    </material>
+  </materials>
+  <solids>
+    <box name="world_s" lunit="mm" x="2000" y="2000" z="2000"/>
+    <sphere name="tank_s" lunit="mm" aunit="deg" rmin="0" rmax="800"
+            startphi="0" deltaphi="360" starttheta="0" deltatheta="180"/>
+    <tube name="pmt_s" lunit="mm" aunit="deg" rmin="0" rmax="100"
+          z="50" startphi="0" deltaphi="360"/>
+    <opticalsurface name="mirror" model="0" finish="1" type="0"
+                    value="1.0">
+      <property name="REFLECTIVITY" ref="REFL"/>
+    </opticalsurface>
+  </solids>
+  <structure>
+    <volume name="pmt_log">
+      <materialref ref="steel"/>
+      <solidref ref="pmt_s"/>
+    </volume>
+    <volume name="tank_log">
+      <materialref ref="water"/>
+      <solidref ref="tank_s"/>
+      <physvol name="pmt_phys">
+        <volumeref ref="pmt_log"/>
+        <positionref ref="pmtpos"/>
+        <rotationref ref="norot"/>
+      </physvol>
+    </volume>
+    <volume name="world_log">
+      <materialref ref="water"/>
+      <solidref ref="world_s"/>
+      <physvol name="tank_phys">
+        <volumeref ref="tank_log"/>
+      </physvol>
+    </volume>
+    <skinsurface name="mirror_skin" surfaceproperty="mirror">
+      <volumeref ref="pmt_log"/>
+    </skinsurface>
+  </structure>
+  <setup name="Default" version="1.0">
+    <world ref="world_log"/>
+  </setup>
+</gdml>
+""")
+
+
+@pytest.fixture
+def gdml_file(tmp_path):
+    path = tmp_path / 'det.gdml'
+    path.write_text(GDML)
+    return str(path)
+
+
+def classifier(volume_ref, material_ref, parent_material_ref):
+    if 'pmt' in volume_ref:
+        return 'pmt', dict(channel_type=1)
+    if volume_ref == 'world_log':
+        return 'omit', dict()
+    return 'solid', dict()
+
+
+def test_gdml_loads_hierarchy(gdml_file):
+    loader = RATGeoLoader(gdml_file)
+    assert loader.world.name == 'world_log'
+    flat = loader.placement_to_volume_map
+    assert '/BUILDROOT/tank_phys/pmt_phys' in flat
+    pmt = flat['/BUILDROOT/tank_phys/pmt_phys']
+    np.testing.assert_allclose(pmt.absolute_pos, [0, 0, 400])
+
+
+def test_gdml_material_conversion(gdml_file):
+    loader = RATGeoLoader(gdml_file)
+    water = loader.materials_used[loader.material_lookup['water']]
+    # 1.5e-6 MeV <-> ~827 nm ; 5e-6 MeV <-> ~248 nm
+    wl = water.refractive_index[:, 0]
+    assert wl.min() == pytest.approx(248, rel=0.01)
+    assert wl.max() == pytest.approx(827, rel=0.01)
+    # index increases toward short wavelengths
+    assert water.refractive_index[0, 1] == pytest.approx(1.36)
+
+
+def test_gdml_build_detector(gdml_file):
+    loader = RATGeoLoader(gdml_file)
+    det = loader.build_detector(volume_classifier=classifier)
+    assert det.num_channels() == 1
+    assert len(det.solids) == 2  # tank + pmt
+    det.flatten()
+    assert len(det.mesh.triangles) > 100
+    # the PMT solid has the mirror skin surface applied
+    pmt_solid = det.solids[det.channel_index_to_solid_id[0]]
+    surfaces = set(pmt_solid.unique_surfaces)
+    assert any(s is not None and s.name == 'mirror' for s in surfaces)
+
+
+def test_ratdb_parser(tmp_path):
+    entries = [
+        {'name': 'GEO', 'index': 'pmts', 'valid_begin': 0,
+         'valid_end': 0, 'type': 'pmtarray', 'pos_table': 'PMTINFO'},
+        {'name': 'PMTINFO', 'index': '', 'valid_begin': 0, 'valid_end': 0,
+         'x': [0.0], 'y': [0.0], 'z': [400.0], 'type': [1]},
+        {'name': 'PMTINFO', 'index': '', 'valid_begin': -1,
+         'valid_end': -1, 'type': [2]},
+    ]
+    path = tmp_path / 'db.json'
+    path.write_text(json.dumps(entries))
+    db = RatDBParser(str(path))
+    entry = db.get_entry('PMTINFO', '')
+    # user plane overrides the type but keeps default coords
+    assert entry['type'] == [2]
+    assert entry['z'] == [400.0]
+    assert db.get_table('GEO')['pmts']['pos_table'] == 'PMTINFO'
