@@ -30,7 +30,6 @@ import jax.numpy as jnp
 
 from chroma_tpu.bvh.mbvh import (ROW_WIDTH, HDR_KIND, HDR_BASE, BOX_OFF,
                                  VERT_OFF, TRI_ID_OFF, MAT_OFF, BRANCH)
-from chroma_tpu.ops.intersect import intersect_box, intersect_triangle
 
 MAX_LEVELS = 12
 
@@ -108,41 +107,89 @@ def intersect_mesh(origin, direction, geom, last_hit_triangle=None,
         is_cluster = active & (kind == 1)
         is_internal = active & (kind == 0)
 
-        # ---- cluster: test all pre-assembled triangles ---------------
-        verts = jax.lax.bitcast_convert_type(
-            row[:, VERT_OFF:VERT_OFF + 9 * BRANCH], jnp.float32) \
-            .reshape(n, BRANCH, 3, 3)
-        t_hit, t_dist = intersect_triangle(
-            origin[:, None, :], direction[:, None, :],
-            verts[:, :, 0], verts[:, :, 1], verts[:, :, 2])
+        # ---- cluster: Moller-Trumbore on component-wise (N,BRANCH)
+        # strided slices — never materializing (N,BRANCH,3,3) keeps the
+        # loop body's HBM intermediate traffic down ------------------
+        def vcomp(j):
+            return jax.lax.bitcast_convert_type(
+                row[:, VERT_OFF + j:VERT_OFF + 9 * BRANCH:9], jnp.float32)
+
+        v0 = [vcomp(j) for j in range(3)]
+        v1 = [vcomp(j) for j in range(3, 6)]
+        v2 = [vcomp(j) for j in range(6, 9)]
+        d = [direction[:, k:k + 1] for k in range(3)]
+        o = [origin[:, k:k + 1] for k in range(3)]
+        e1 = [v1[k] - v0[k] for k in range(3)]
+        e2 = [v2[k] - v0[k] for k in range(3)]
+
+        def cross3(a, b):
+            return [a[1] * b[2] - a[2] * b[1],
+                    a[2] * b[0] - a[0] * b[2],
+                    a[0] * b[1] - a[1] * b[0]]
+
+        def dot3(a, b):
+            return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
+
+        h = cross3(d, e2)
+        a = dot3(e1, h)
+        not_par = jnp.abs(a) > 1.1920929e-07
+        f = 1.0 / jnp.where(not_par, a, 1.0)
+        sv = [o[k] - v0[k] for k in range(3)]
+        u_b = f * dot3(sv, h)
+        q = cross3(sv, e1)
+        v_b = f * dot3(d, q)
+        t_d = f * dot3(e2, q)
+        eps = 1e-6
+        t_hit = (not_par & (u_b >= -eps) & (u_b <= 1.0 + eps)
+                 & (v_b >= -eps) & (u_b + v_b <= 1.0 + eps) & (t_d > eps))
+
         tri_ids = row[:, TRI_ID_OFF:TRI_ID_OFF + BRANCH].astype(jnp.int32)
         valid = (t_hit & (slots[None, :] < count[:, None])
                  & (tri_ids != last_hit_triangle[:, None]))
-        t_dist = jnp.where(valid, t_dist, jnp.inf)
+        t_dist = jnp.where(valid, t_d, jnp.inf)
         cl_dist = jnp.min(t_dist, axis=1)
-        best_slot = jnp.argmin(t_dist, axis=1)
-        oh_slot = (slots[None, :] == best_slot[:, None])
+        # one-hot of the FIRST minimal slot (ties broken like argmin)
+        is_min = t_dist == cl_dist[:, None]
+        oh_slot = is_min & (jnp.cumsum(is_min, axis=1) == 1)
 
         improved = is_cluster & (cl_dist < s['min_dist'])
-        pick_i32 = lambda arr: jnp.sum(jnp.where(oh_slot, arr, 0), axis=1)
-        best_tri = jnp.where(improved, pick_i32(tri_ids), s['best_tri'])
+        norm_c = cross3(e1, e2)
+
+        def pick(arr):
+            return jnp.sum(jnp.where(oh_slot, arr, 0), axis=1)
+
+        def pickf(arr):
+            return jnp.sum(jnp.where(oh_slot, arr, 0.0), axis=1)
+
+        best_tri = jnp.where(improved, pick(tri_ids), s['best_tri'])
         min_dist = jnp.where(improved, cl_dist, s['min_dist'])
-        bv = jnp.sum(jnp.where(oh_slot[:, :, None, None], verts, 0.0),
-                     axis=1)                       # (N,3,3)
-        norm_new = jnp.cross(bv[:, 1] - bv[:, 0], bv[:, 2] - bv[:, 1])
+        norm_new = jnp.stack([pickf(norm_c[0]), pickf(norm_c[1]),
+                              pickf(norm_c[2])], axis=-1)
         best_norm = jnp.where(improved[:, None], norm_new, s['best_norm'])
         mats = row[:, MAT_OFF:MAT_OFF + BRANCH]
-        best_mat = jnp.where(improved, pick_i32(mats), s['best_mat'])
+        best_mat = jnp.where(improved,
+                             pick(mats.astype(jnp.int32)).astype(jnp.uint32),
+                             s['best_mat'])
 
-        # ---- internal: slab-test all child boxes ---------------------
-        packed = row[:, BOX_OFF:BOX_OFF + 3 * BRANCH].reshape(n, BRANCH, 3)
-        lo = (packed & jnp.uint32(0xFFFF)).astype(jnp.float32)
-        hi = (packed >> jnp.uint32(16)).astype(jnp.float32)
-        lower = geom.world_origin + lo * geom.world_scale
-        upper = geom.world_origin + hi * geom.world_scale
-        b_hit, b_dist = intersect_box(neg_origin_inv_dir[:, None, :],
-                                      inv_dir[:, None, :], lower, upper)
-        b_ok = b_hit & (b_dist <= min_dist[:, None]) \
+        # ---- internal: slab-test all child boxes, component-wise ----
+        tmin = None
+        tmax = None
+        ws = geom.world_scale
+        for k in range(3):
+            pk = row[:, BOX_OFF + k:BOX_OFF + 3 * BRANCH:3]
+            lok = geom.world_origin[k] \
+                + (pk & jnp.uint32(0xFFFF)).astype(jnp.float32) * ws
+            hik = geom.world_origin[k] \
+                + (pk >> jnp.uint32(16)).astype(jnp.float32) * ws
+            t0 = lok * inv_dir[:, k:k + 1] + neg_origin_inv_dir[:, k:k + 1]
+            t1 = hik * inv_dir[:, k:k + 1] + neg_origin_inv_dir[:, k:k + 1]
+            finite = jnp.isfinite(inv_dir[:, k:k + 1])
+            small = jnp.where(finite, jnp.minimum(t0, t1), -jnp.inf)
+            big = jnp.where(finite, jnp.maximum(t0, t1), jnp.inf)
+            tmin = small if tmin is None else jnp.maximum(tmin, small)
+            tmax = big if tmax is None else jnp.minimum(tmax, big)
+        tmin = jnp.maximum(tmin, 0.0)
+        b_ok = (tmin <= tmax) & (tmin <= min_dist[:, None]) \
             & (slots[None, :] < count[:, None])
         hitmask = jnp.sum(
             jnp.where(b_ok,

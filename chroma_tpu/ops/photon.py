@@ -134,17 +134,24 @@ def propagate_compacting(state, geom, key, max_steps=100,
 
     total_steps = 0
     first = True
+    bucket = n
     while total_steps < max_steps:
-        # sort so live photons form a prefix (dead sort to the end)
-        state, _ = _sort_jit(state, geom)
-        alive = int(_count_alive_jit(state))
-        if alive == 0:
-            break
-        bucket = min(_next_pow2(max(alive, min_bucket)), n)
+        if not first:
+            # sort so live photons form a prefix (dead sort to the end)
+            state, _ = _sort_jit(state, geom)
+            alive = int(_count_alive_jit(state))
+            if alive == 0:
+                break
+            bucket = min(_next_pow2(max(alive, min_bucket)), n)
         sub = {k: v[:bucket] for k, v in state.items()}
         key, sk = jax.random.split(key)
         sf = scatter_first if first else 0
-        rounds = min(steps_per_round, max_steps - total_steps)
+        if bucket <= min_bucket:
+            # the surviving trickle: one early-exiting chunk for all
+            # remaining steps instead of a host round trip per step
+            rounds = max_steps - total_steps
+        else:
+            rounds = min(steps_per_round, max_steps - total_steps)
         sub, _ = propagate(sub, geom, sk, max_steps=rounds,
                            use_weights=use_weights, scatter_first=sf,
                            sort_every=1)
