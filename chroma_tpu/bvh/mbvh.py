@@ -26,14 +26,22 @@ from chroma_tpu.bvh.build import create_leaf_nodes, _intra_run
 BRANCH = 28                    # children per block / triangles per cluster
 TARGET_DEGREE = 20             # Morton coarsening mean fan-out target
 
-# row layout (u32 words)
+# row layout (u32 words).  Cluster triangle vertices are quantized to
+# u16 on a per-cluster local grid (origin + per-axis scale): sub-10um
+# resolution for decimeter-scale clusters at 40% of the row bytes —
+# gather cost is per-row, but smaller tables gather with better
+# locality (ARCHITECTURE.md).
 HDR_KIND = 0                   # bit0: 1=cluster; bits 8..15: count
 HDR_BASE = 1                   # internal: global row id of first child
 BOX_OFF = 2                    # internal: BRANCH x (x,y,z) lo|hi<<16
-VERT_OFF = 2                   # cluster: BRANCH x 9 f32 vertex words
-TRI_ID_OFF = VERT_OFF + 9 * BRANCH          # cluster: BRANCH tri ids
-MAT_OFF = TRI_ID_OFF + BRANCH               # cluster: BRANCH mat codes
-ROW_WIDTH = MAT_OFF + BRANCH                # 312 words = 1248 B
+QORIGIN_OFF = 2                # cluster: 3 x f32 local origin
+QSCALE_OFF = 5                 # cluster: 3 x f32 local scale
+QVERT_OFF = 8                  # cluster: 9 components x BRANCH u16,
+QVERT_WORDS_PER_COMP = BRANCH // 2          # component-major u16 pairs
+TRI_ID_OFF = QVERT_OFF + 9 * QVERT_WORDS_PER_COMP  # BRANCH tri ids
+MAT_OFF = TRI_ID_OFF + BRANCH               # BRANCH mat codes
+ROW_WIDTH = MAT_OFF + BRANCH                # 190 words = 760 B
+assert BRANCH % 2 == 0
 
 
 class MBVH(object):
@@ -180,18 +188,39 @@ def build_mbvh(mesh, material_codes=None, target_degree=TARGET_DEGREE):
 
     rows = np.zeros((nblocks + nclusters, ROW_WIDTH), dtype=np.uint32)
 
-    # ---- cluster rows ----------------------------------------------
+    # ---- cluster rows (quantized component-major vertices) ----------
     fc0, nc0 = groupings[0]
     crow = np.arange(nclusters)
-    rows[id_base[0] + crow, HDR_KIND] = np.uint32(1) | (
-        nc0.astype(np.uint32) << 8)
+    cdst = id_base[0] + crow
+    rows[cdst, HDR_KIND] = np.uint32(1) | (nc0.astype(np.uint32) << 8)
     slot = _intra_run(nc0)
     leaf_idx = np.repeat(fc0, nc0) + slot
     tri_ids = tri_order[leaf_idx]
     dst_row = id_base[0] + np.repeat(crow, nc0)
-    verts = tv_all[tri_ids].reshape(-1, 9)
-    vcols = VERT_OFF + slot[:, None] * 9 + np.arange(9)[None, :]
-    rows[dst_row[:, None], vcols] = verts.view(np.uint32)
+    verts = tv_all[tri_ids]                              # (T,3,3)
+
+    # per-cluster local grid
+    cl_min = np.minimum.reduceat(verts.min(axis=1), fc0, axis=0)
+    cl_max = np.maximum.reduceat(verts.max(axis=1), fc0, axis=0)
+    scale = np.maximum((cl_max - cl_min) / 65535.0, 1e-12) \
+        .astype(np.float32)
+    origin = cl_min.astype(np.float32)
+    rows[cdst[:, None], QORIGIN_OFF + np.arange(3)[None, :]] = \
+        origin.view(np.uint32)
+    rows[cdst[:, None], QSCALE_OFF + np.arange(3)[None, :]] = \
+        scale.view(np.uint32)
+
+    crep = np.repeat(crow, nc0)
+    q = np.clip(np.round(
+        (verts - origin[crep][:, None, :]) / scale[crep][:, None, :]),
+        0, 65535).astype(np.uint32)                      # (T,3,3)
+    padded = np.zeros((nclusters, BRANCH, 9), dtype=np.uint32)
+    padded[crep, slot, :] = q.reshape(-1, 9)
+    packed = padded[:, 0::2, :] | (padded[:, 1::2, :] << 16)  # (C,14,9)
+    rows[cdst[:, None],
+         QVERT_OFF + np.arange(9 * QVERT_WORDS_PER_COMP)[None, :]] = \
+        packed.transpose(0, 2, 1).reshape(nclusters, -1)
+
     rows[dst_row, TRI_ID_OFF + slot] = tri_ids.astype(np.uint32)
     rows[dst_row, MAT_OFF + slot] = material_codes[tri_ids]
 

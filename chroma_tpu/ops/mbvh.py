@@ -29,7 +29,9 @@ import jax
 import jax.numpy as jnp
 
 from chroma_tpu.bvh.mbvh import (ROW_WIDTH, HDR_KIND, HDR_BASE, BOX_OFF,
-                                 VERT_OFF, TRI_ID_OFF, MAT_OFF, BRANCH)
+                                 QORIGIN_OFF, QSCALE_OFF, QVERT_OFF,
+                                 QVERT_WORDS_PER_COMP, TRI_ID_OFF,
+                                 MAT_OFF, BRANCH)
 
 MAX_LEVELS = 12
 
@@ -108,11 +110,24 @@ def intersect_mesh(origin, direction, geom, last_hit_triangle=None,
         is_internal = active & (kind == 0)
 
         # ---- cluster: Moller-Trumbore on component-wise (N,BRANCH)
-        # strided slices — never materializing (N,BRANCH,3,3) keeps the
-        # loop body's HBM intermediate traffic down ------------------
+        # slices of the quantized component-major vertex block — never
+        # materializing (N,BRANCH,3,3) keeps the loop body's HBM
+        # intermediate traffic down ----------------------------------
+        qorigin = [jax.lax.bitcast_convert_type(
+            row[:, QORIGIN_OFF + k], jnp.float32)[:, None]
+            for k in range(3)]
+        qscale = [jax.lax.bitcast_convert_type(
+            row[:, QSCALE_OFF + k], jnp.float32)[:, None]
+            for k in range(3)]
+
         def vcomp(j):
-            return jax.lax.bitcast_convert_type(
-                row[:, VERT_OFF + j:VERT_OFF + 9 * BRANCH:9], jnp.float32)
+            w = row[:, QVERT_OFF + j * QVERT_WORDS_PER_COMP:
+                    QVERT_OFF + (j + 1) * QVERT_WORDS_PER_COMP]
+            lo = (w & jnp.uint32(0xFFFF)).astype(jnp.float32)
+            hi = (w >> jnp.uint32(16)).astype(jnp.float32)
+            q = jnp.stack([lo, hi], axis=-1).reshape(n, BRANCH)
+            k = j % 3
+            return q * qscale[k] + qorigin[k]
 
         v0 = [vcomp(j) for j in range(3)]
         v1 = [vcomp(j) for j in range(3, 6)]
