@@ -41,6 +41,7 @@ QVERT_WORDS_PER_COMP = BRANCH // 2          # component-major u16 pairs
 TRI_ID_OFF = QVERT_OFF + 9 * QVERT_WORDS_PER_COMP  # BRANCH tri ids
 MAT_OFF = TRI_ID_OFF + BRANCH               # BRANCH mat codes
 ROW_WIDTH = MAT_OFF + BRANCH                # 190 words = 760 B
+LAYOUT_VERSION = 3
 assert BRANCH % 2 == 0
 
 
@@ -216,7 +217,10 @@ def build_mbvh(mesh, material_codes=None, target_degree=TARGET_DEGREE):
         0, 65535).astype(np.uint32)                      # (T,3,3)
     padded = np.zeros((nclusters, BRANCH, 9), dtype=np.uint32)
     padded[crep, slot, :] = q.reshape(-1, 9)
-    packed = padded[:, 0::2, :] | (padded[:, 1::2, :] << 16)  # (C,14,9)
+    # block halfword layout: word w holds slots (w, w + BRANCH/2) so
+    # the walker unpacks with a concat instead of a lane interleave
+    half = BRANCH // 2
+    packed = padded[:, :half, :] | (padded[:, half:, :] << 16)  # (C,14,9)
     rows[cdst[:, None],
          QVERT_OFF + np.arange(9 * QVERT_WORDS_PER_COMP)[None, :]] = \
         packed.transpose(0, 2, 1).reshape(nclusters, -1)

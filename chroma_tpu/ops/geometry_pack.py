@@ -153,10 +153,10 @@ def _load_or_build_mbvh(geometry, material_codes):
     from chroma_tpu.bvh.mbvh import build_mbvh
     from chroma_tpu.cache import Cache
 
-    from chroma_tpu.bvh.mbvh import BRANCH, ROW_WIDTH
+    from chroma_tpu.bvh.mbvh import BRANCH, ROW_WIDTH, LAYOUT_VERSION
     # cluster rows bake in material codes, so they join the cache key;
     # the layout parameters version the format
-    name = 'mbvh%d_%d_' % (BRANCH, ROW_WIDTH) \
+    name = 'mbvh%d_%d_v%d_' % (BRANCH, ROW_WIDTH, LAYOUT_VERSION) \
         + _md5(np.ascontiguousarray(material_codes)).hexdigest()[:10]
     try:
         cache = Cache()

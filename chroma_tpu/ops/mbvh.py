@@ -125,7 +125,8 @@ def intersect_mesh(origin, direction, geom, last_hit_triangle=None,
                     QVERT_OFF + (j + 1) * QVERT_WORDS_PER_COMP]
             lo = (w & jnp.uint32(0xFFFF)).astype(jnp.float32)
             hi = (w >> jnp.uint32(16)).astype(jnp.float32)
-            q = jnp.stack([lo, hi], axis=-1).reshape(n, BRANCH)
+            # block halfword layout: slots [0..B/2) in lo, rest in hi
+            q = jnp.concatenate([lo, hi], axis=1)
             k = j % 3
             return q * qscale[k] + qorigin[k]
 

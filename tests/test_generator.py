@@ -46,7 +46,10 @@ def test_server_round_trip():
     geo.add_solid(Solid(make.box(100, 100, 100), vacuum, vacuum))
     geo = create_geometry_from_obj(geo, update_bvh_cache=False)
 
-    address = 'ipc:///tmp/chroma_tpu_test_server'
+    import uuid
+    # unique per run: a stale server process bound to the same ipc path
+    # would race for our requests
+    address = 'ipc:///tmp/chroma_tpu_test_server_' + uuid.uuid4().hex
     server = ChromaServer(address, geo, geant4_processes=0)
     t = threading.Thread(target=server.serve_forever, daemon=True)
     t.start()
