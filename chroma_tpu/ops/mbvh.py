@@ -224,5 +224,9 @@ def intersect_mesh(origin, direction, geom, last_hit_triangle=None,
                     best_mat=best_mat, iters=s['iters'] + 1)
 
     out = jax.lax.while_loop(cond, body, state)
+    # rays stopped by max_iters still have pending work: their partial
+    # result must not be trusted (callers retry them)
+    incomplete = jnp.any(out['masks'] != 0, axis=1)
     return dict(triangle=out['best_tri'], distance=out['min_dist'],
-                normal=out['best_norm'], material_code=out['best_mat'])
+                normal=out['best_norm'], material_code=out['best_mat'],
+                incomplete=incomplete)

@@ -230,26 +230,38 @@ def _rayleigh(state, u_cos, u_phi):
     return normalize(new_dir), normalize(new_pol)
 
 
-@partial(jax.jit, static_argnames=('use_weights',))
-def propagate_step(state, geom, key, scatter_first, use_weights=False):
-    """Advance every live photon by one step.  Returns new state."""
+@partial(jax.jit, static_argnames=('use_weights', 'traversal_cap'))
+def propagate_step(state, geom, key, scatter_first, use_weights=False,
+                   traversal_cap=65536):
+    """Advance every live photon by one step.  Returns new state.
+
+    ``traversal_cap`` bounds the BVH walk's lock-step iterations;
+    photons whose traversal did not finish within the cap are left
+    completely untouched (still alive) and retry on the next —
+    compacted, cheaper — step.  The lock-step cost of a traversal round
+    is its *slowest* ray, so capping at ~p99.9 of the visit
+    distribution trades a tiny retry fraction for the whole tail.
+    """
     n = state['pos'].shape[0]
     flags = state['flags']
-    alive = (flags & jnp.uint32(event.TERMINAL_FLAGS)) == 0
+    alive0 = (flags & jnp.uint32(event.TERMINAL_FLAGS)) == 0
 
     u = jax.random.uniform(key, (n, NDRAWS), dtype=jnp.float32)
 
     # NaN guard (reference: chroma/cuda/propagate.cu:262)
     bad = jnp.isnan(jnp.sum(state['dir'], axis=1)
                     + jnp.sum(state['pos'], axis=1))
-    flags = jnp.where(alive & bad,
+    flags = jnp.where(alive0 & bad,
                       flags | jnp.uint32(event.NO_HIT | event.NAN_ABORT),
                       flags)
-    alive = alive & ~bad
+    active = alive0 & ~bad
 
     # ---- fill_state: closest hit + material decode -------------------
     res = mbvh.intersect_mesh(state['pos'], state['dir'], geom,
-                              state['last_hit_triangle'], active=alive)
+                              state['last_hit_triangle'], active=active,
+                              max_iters=traversal_cap)
+    incomplete = res['incomplete']
+    alive = active & ~incomplete
     tri = res['triangle']
     d_bound = res['distance']
     hit = alive & (tri >= 0)
@@ -584,13 +596,15 @@ def propagate_step(state, geom, key, scatter_first, use_weights=False):
     flags = jnp.where(to_fresnel & fr_reflected,
                       flags | jnp.uint32(event.REFLECT_SPECULAR), flags)
 
-    # freeze state of photons that were not alive this step
+    # freeze state of photons that were not (effectively) alive this
+    # step; NaN-aborted photons keep only their new terminal flags
     def keep(old, new):
         mask = alive
         if new.ndim == 2:
             mask = mask[..., None]
         return jnp.where(mask, new, old)
 
+    flag_mask = alive | (alive0 & bad)
     return dict(
         pos=keep(state['pos'], pos),
         dir=keep(state['dir'], dirv),
@@ -598,7 +612,7 @@ def propagate_step(state, geom, key, scatter_first, use_weights=False):
         wavelength=keep(state['wavelength'], new_wl),
         t=keep(state['t'], t),
         weight=keep(state['weight'], weight),
-        flags=jnp.where(alive, flags, state['flags']),
+        flags=jnp.where(flag_mask, flags, state['flags']),
         last_hit_triangle=keep(state['last_hit_triangle'], lht),
         evidx=state['evidx'],
     )
