@@ -136,6 +136,10 @@ class GPUPhotons(object):
         if ncopies > 1:
             state = {k: jnp.tile(v, (ncopies,) + (1,) * (v.ndim - 1))
                      for k, v in state.items()}
+        # unique per-slot original indices so the compaction driver can
+        # restore upload order (padding/copies must not collide)
+        state['index'] = jnp.arange(state['pos'].shape[0],
+                                    dtype=jnp.uint32)
         self.state = state
         self.true_nphotons = n
         self.stride = stride
@@ -211,6 +215,7 @@ class GPUPhotons(object):
         sub = object.__new__(GPUPhotons)
         sub.state = {k: v[sl][jnp.asarray(pad_idx)]
                      for k, v in self.state.items()}
+        sub.state['index'] = jnp.arange(padded, dtype=jnp.uint32)
         if padded > n:
             live = np.arange(padded) < n
             sub.state['weight'] = jnp.where(jnp.asarray(live),

@@ -169,7 +169,17 @@ def propagate_compacting(state, geom, key, max_steps=100,
                      for k, v in state.items()}
         total_steps += rounds
         first = False
+    # restore the caller's photon order (the sorts permuted the batch)
+    state = unsort_photons(state)
     return state, total_steps
+
+
+@partial(jax.jit)
+def unsort_photons(state):
+    """Invert the accumulated Morton permutations via the carried
+    original-index field."""
+    order = jnp.argsort(state['index'])
+    return {k: v[order] for k, v in state.items()}
 
 
 @partial(jax.jit)

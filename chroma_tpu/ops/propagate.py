@@ -135,7 +135,12 @@ def _sample_icdf_flat(icdf, row_idx, u):
 def make_photon_state(n=None, pos=None, dir=None, pol=None, wavelength=None,
                       t=None, weight=None, flags=None, last_hit_triangle=None,
                       evidx=None):
-    """SoA photon state dict (device arrays)."""
+    """SoA photon state dict (device arrays).
+
+    ``index`` records each photon's original batch position; the
+    compaction driver sorts the batch for coherence and uses it to
+    restore upload order afterwards (photons_end[i] must correspond to
+    photons_beg[i], as in the reference)."""
     n = n if n is not None else pos.shape[0]
 
     def arr(x, default, shape, dtype):
@@ -153,6 +158,7 @@ def make_photon_state(n=None, pos=None, dir=None, pol=None, wavelength=None,
         flags=arr(flags, 0, (n,), jnp.uint32),
         last_hit_triangle=arr(last_hit_triangle, -1, (n,), jnp.int32),
         evidx=arr(evidx, 0, (n,), jnp.uint32),
+        index=jnp.arange(n, dtype=jnp.uint32),
     )
 
 
@@ -615,6 +621,7 @@ def propagate_step(state, geom, key, scatter_first, use_weights=False,
         flags=jnp.where(flag_mask, flags, state['flags']),
         last_hit_triangle=keep(state['last_hit_triangle'], lht),
         evidx=state['evidx'],
+        index=state['index'],
     )
 
 

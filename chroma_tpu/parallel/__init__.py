@@ -48,7 +48,10 @@ def pad_to_multiple(state, multiple):
         if k == 'last_hit_triangle':
             filler = jnp.full((pad,), -1, jnp.int32)
         return jnp.concatenate([v, filler])
-    return {k: pad_arr(k, v) for k, v in state.items()}, n
+    out = {k: pad_arr(k, v) for k, v in state.items()}
+    if 'index' in out:
+        out['index'] = jnp.arange(out['pos'].shape[0], dtype=jnp.uint32)
+    return out, n
 
 
 def propagate_sharded(state, geom, key, mesh, max_steps=100,

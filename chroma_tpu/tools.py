@@ -146,3 +146,17 @@ def ufloat_to_str(x):
     msd = -int(math.floor(math.log10(x.std_dev)))
     return '%.*f +/- %.*f' % (msd, round(x.nominal_value, msd),
                               msd, round(x.std_dev, msd))
+
+
+def enable_debug_on_crash():
+    """Drop into pdb on uncaught exceptions (reference:
+    chroma/tools.py debugger hook)."""
+    def hook(type_, value, tb):
+        if hasattr(sys, 'ps1') or not sys.stderr.isatty():
+            sys.__excepthook__(type_, value, tb)
+        else:
+            import traceback
+            import pdb
+            traceback.print_exception(type_, value, tb)
+            pdb.post_mortem(tb)
+    sys.excepthook = hook

@@ -22,6 +22,7 @@ def run(geom, photons, key=0, max_steps=10, **kw):
     out, steps = gpu_photon.propagate(state, geom,
                                       jax.random.PRNGKey(key),
                                       max_steps=max_steps, **kw)
+    out = gpu_photon.unsort_photons(out)  # restore upload order
     return gpu_photon.download_photons(out)
 
 
@@ -231,3 +232,32 @@ def test_diffuse_reflection_cosine():
     assert (cosr > 0).all()
     # cosine-weighted: E[cos] = 2/3
     assert abs(cosr.mean() - 2.0 / 3.0) < 0.01
+
+
+def test_photon_order_preserved(water_box):
+    """photons_end[i] must correspond to photons_beg[i] despite the
+    compaction sorts (regression: the Morton sort permuted the batch)."""
+    from chroma_tpu import gpu
+    n = 4096
+    photons = axis_photons(n)
+    # unique wavelength per photon survives propagation (no reemission)
+    photons.wavelengths[:] = np.linspace(200.0, 800.0, n,
+                                         dtype=np.float32)
+    gp = gpu.GPUPhotons(photons)
+    gp.propagate(type('G', (), {'geom': water_box})(),
+                 gpu.get_rng_states(seed=3), max_steps=20)
+    out = gp.get()
+    np.testing.assert_array_equal(out.wavelengths, photons.wavelengths)
+
+
+def test_nan_photons_abort(vacuum_box):
+    """NaN directions must terminate with NAN_ABORT | NO_HIT
+    (regression: flags were computed but never written back)."""
+    photons = axis_photons(64)
+    photons.dir[0] = np.nan
+    p = run(vacuum_box, photons, max_steps=10)
+    assert p.flags[0] & event.NAN_ABORT
+    assert p.flags[0] & event.NO_HIT
+    # the rest are unaffected
+    assert ((p.flags[1:] & event.NO_HIT) > 0).all()
+    assert not ((p.flags[1:] & event.NAN_ABORT) > 0).any()
