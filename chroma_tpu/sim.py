@@ -29,6 +29,13 @@ class Simulation(object):
                  particle_tracking=False, photon_tracking=False,
                  geant4_processes=4, nthreads_per_block=64,
                  max_blocks=1024):
+        if isinstance(detector, str):
+            from chroma_tpu.loader import load_geometry_from_string
+            detector = load_geometry_from_string(detector)
+        elif getattr(detector, 'bvh', None) is None:
+            # accept un-flattened geometries: build/flatten + cached BVH
+            from chroma_tpu.loader import create_geometry_from_obj
+            detector = create_geometry_from_obj(detector)
         self.detector = detector
         self.photon_tracking = photon_tracking
         self.seed = pick_seed() if seed is None else seed
@@ -135,7 +142,12 @@ class Simulation(object):
             first_element, iterable = itertoolset.peek(iterable)
 
         if isinstance(first_element, event.Event):
-            iterable = self.photon_generator.generate_events(iterable)
+            if self.photon_generator is not None:
+                iterable = self.photon_generator.generate_events(iterable)
+            elif first_element.photons_beg is None:
+                raise RuntimeError('events carry no photons and the '
+                                   'simulation was created with '
+                                   'geant4_processes=0')
         elif isinstance(first_element, event.Photons):
             iterable = (event.Event(photons_beg=x) for x in iterable)
         elif isinstance(first_element, event.Vertex):
