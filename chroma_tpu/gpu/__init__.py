@@ -155,14 +155,29 @@ class GPUPhotons(object):
 
     def propagate(self, gpu_geometry, rng_states, max_steps=100,
                   use_weights=False, scatter_first=0, track=False,
-                  **ignored):
+                  mesh=None, **ignored):
         """Propagate to completion (reference gpu/photon.py:192).
 
         With ``track=True`` returns (step_photon_ids, step_photons)
-        snapshots per step for photon-track debugging."""
+        snapshots per step for photon-track debugging.  With ``mesh``
+        (a multi-device jax Mesh) the photon axis is sharded across
+        the mesh and each chip runs the wavefront loop independently.
+        """
         key = rng_states.next() if isinstance(rng_states, RNGStream) \
             else rng_states
         geom = gpu_geometry.geom
+        if mesh is not None and mesh.devices.size > 1 and not track:
+            from chroma_tpu import parallel
+            n = self.state['pos'].shape[0]
+            state, _ = parallel.pad_to_multiple(
+                self.state, int(mesh.devices.size))
+            state = parallel.propagate_sharded(
+                state, geom, key, mesh, max_steps=max_steps,
+                use_weights=use_weights, scatter_first=scatter_first)
+            state = photon_ops.unsort_photons(state)
+            self.state = {k: v[:n] for k, v in state.items()}
+            self.last_steps = None
+            return None
         if not track:
             self.state, steps = photon_ops.propagate_compacting(
                 self.state, geom, key, max_steps=max_steps,

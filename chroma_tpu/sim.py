@@ -28,7 +28,12 @@ class Simulation(object):
     def __init__(self, detector, seed=None, cuda_device=None,
                  particle_tracking=False, photon_tracking=False,
                  geant4_processes=4, nthreads_per_block=64,
-                 max_blocks=1024):
+                 max_blocks=1024, devices=None, mesh=None):
+        """``devices``/``mesh``: propagate each batch sharded over a
+        multi-device jax Mesh (photon-axis data parallelism; a
+        capability the single-GPU reference does not have).  With
+        neither given, a multi-device process auto-builds a mesh over
+        all local devices."""
         if isinstance(detector, str):
             from chroma_tpu.loader import load_geometry_from_string
             detector = load_geometry_from_string(detector)
@@ -56,6 +61,15 @@ class Simulation(object):
         else:
             self.gpu_geometry = gpu.GPUGeometry(detector)
 
+        import jax
+        if mesh is None and devices is not None:
+            from chroma_tpu.parallel import make_photon_mesh
+            mesh = make_photon_mesh(devices)
+        elif mesh is None and len(jax.devices()) > 1:
+            from chroma_tpu.parallel import make_photon_mesh
+            mesh = make_photon_mesh()
+        self.mesh = mesh
+
         self.rng_states = gpu.get_rng_states(seed=self.seed)
         self.pdf_config = None
 
@@ -74,7 +88,7 @@ class Simulation(object):
                                      copy_weights=False)
         tracking = gpu_photons.propagate(
             self.gpu_geometry, self.rng_states, max_steps=max_steps,
-            track=self.photon_tracking)
+            track=self.photon_tracking, mesh=self.mesh)
 
         aborted = (np.asarray(gpu_photons.state['flags'])
                    & event.NAN_ABORT) != 0
@@ -214,7 +228,8 @@ class Simulation(object):
 
         for ev in iterable:
             gpu_photons = gpu.GPUPhotons(ev.photons_beg)
-            gpu_photons.propagate(self.gpu_geometry, self.rng_states)
+            gpu_photons.propagate(self.gpu_geometry, self.rng_states,
+                                  mesh=self.mesh)
             self.gpu_daq.begin_acquire()
             self.gpu_daq.acquire(gpu_photons, self.rng_states)
             gpu_channels = self.gpu_daq.end_acquire()
@@ -244,9 +259,11 @@ class Simulation(object):
             scatter = gpu.GPUPhotons(ev.photons_beg,
                                      ncopies=nreps * nscatter)
             no_scatter.propagate(self.gpu_geometry, self.rng_states,
+                                 mesh=self.mesh,
                                  use_weights=True, scatter_first=-1,
                                  max_steps=10)
             scatter.propagate(self.gpu_geometry, self.rng_states,
+                              mesh=self.mesh,
                               use_weights=True, scatter_first=1,
                               max_steps=5)
             stride = no_scatter.stride
@@ -285,7 +302,8 @@ class Simulation(object):
             first_element, bandwidth_iterable)
         for ev in bandwidth_iterable:
             gpu_photons = gpu.GPUPhotons(ev.photons_beg, ncopies=nreps)
-            gpu_photons.propagate(self.gpu_geometry, self.rng_states)
+            gpu_photons.propagate(self.gpu_geometry, self.rng_states,
+                                  mesh=self.mesh)
             for ph_slice in gpu_photons.iterate_copies():
                 for _ in range(ndaq):
                     self.gpu_daq.begin_acquire()
@@ -308,7 +326,8 @@ class Simulation(object):
                                                      kernel_iterable)
         for ev in kernel_iterable:
             gpu_photons = gpu.GPUPhotons(ev.photons_beg, ncopies=nreps)
-            gpu_photons.propagate(self.gpu_geometry, self.rng_states)
+            gpu_photons.propagate(self.gpu_geometry, self.rng_states,
+                                  mesh=self.mesh)
             for ph_slice in gpu_photons.iterate_copies():
                 for _ in range(ndaq):
                     self.gpu_daq.begin_acquire()
