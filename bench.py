@@ -3,8 +3,9 @@
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
-Baseline: 2.5M photons/s, full physics, 29k-PMT-class demo detector on
-one GPU (reference README.md:5).  Attempts the full cached demo
+Baseline: 2.5M photons/s, full physics, on the reference's demo-class
+detector on one GPU (reference README.md:5).  Our full demo carries
+10,055 PMTs / 42M triangles (tools/build_full_demo.py).  Attempts the full cached demo
 detector (42M triangles; see tools/build_full_demo.py) in an isolated
 subprocess — the axon TPU worker can crash under the 7 GB table load —
 and falls back to the tiny demo variant, labeling the metric with the
@@ -28,11 +29,14 @@ from chroma_tpu.loader import create_geometry_from_obj
 from chroma_tpu.benchmark import propagate
 
 which = os.environ.get('BENCH_DETECTOR', 'full')
-if which == 'full':
-    geo = create_geometry_from_obj(Cache().load_geometry('demo_full'))
-else:
-    geo = create_geometry_from_obj(demo.tiny)
-gg = gpu.GPUDetector(geo)
+gg = gpu.GPUDetector.from_table_cache(which)
+if gg is None:
+    if which == 'full':
+        geo = create_geometry_from_obj(Cache().load_geometry('demo_full'))
+    else:
+        geo = create_geometry_from_obj(demo.tiny)
+    gg = gpu.GPUDetector(geo)
+    gg.save_table_cache(which)
 nphotons = int(os.environ.get('BENCH_NPHOTONS', 1 << 18))
 rates = propagate(gg, number=3, nphotons=nphotons, max_steps=100)
 print('RESULT ' + json.dumps({'value': float(np.mean(rates[1:]))}))
@@ -56,8 +60,8 @@ def _try(detector, nphotons, timeout):
 
 
 def main():
-    attempts = [('full', 1 << 18, 3000, '29k-PMT-class full demo'
-                 ' (42M triangles)'),
+    attempts = [('full', 1 << 18, 3000, 'full demo'
+                 ' (10,055 PMTs, 42M triangles)'),
                 ('tiny', 1 << 18, 2400, 'tiny demo (300k triangles)')]
     if os.environ.get('BENCH_SKIP_FULL'):
         attempts = attempts[1:]

@@ -1,7 +1,7 @@
 """Demo detectors (parity: chroma/demo/__init__.py).
 
 ``detector()`` builds the benchmark geometry: a black sphere lined with
-~20k 8-inch PMTs placed on a spherical spiral, filled with water.
+10,055 8-inch PMTs (full variant) placed on a spherical spiral, filled with water.
 ``tiny()`` is a small variant for tests.
 """
 from math import sin, cos, sqrt

@@ -97,6 +97,26 @@ class GPUDetector(GPUGeometry):
         if print_usage:
             self.print_device_usage()
 
+    @classmethod
+    def from_table_cache(cls, name, detector=None):
+        """Construct from the packed-table cache (seconds instead of
+        the minutes-long host-geometry load + repack); returns None on
+        a cache miss.  ``save_table_cache`` fills the cache."""
+        from chroma_tpu.ops.table_cache import load_tables
+        hit = load_tables(name)
+        if hit is None:
+            return None
+        self = object.__new__(cls)
+        self.geometry = detector
+        self.geom, self.det = hit
+        self.solid_id_map = self.geom.solid_id_map
+        self.nchannels = self.det.nchannels if self.det else 0
+        return self
+
+    def save_table_cache(self, name):
+        from chroma_tpu.ops.table_cache import save_tables
+        save_tables(name, self.geom, self.det)
+
 
 class GPUPhotons(object):
     """Device photon batch (reference: chroma/gpu/photon.py GPUPhotons).

@@ -65,7 +65,15 @@ class GPUPDF(object):
     def setup_pdf_eval(self, event_hit, event_time, event_charge,
                        min_twidth, trange, min_qwidth, qrange,
                        min_bin_content=10, time_only=True):
-        assert time_only, 'Only time PDFs supported for now'
+        """Variable-bin PDF evaluation at each channel's (t[,q]) point.
+
+        ``time_only=False`` evaluates a true 2D (time, charge) density
+        — the reference accepts these arguments but leaves the 2D mode
+        unimplemented (reference chroma/gpu/pdf.py get_pdf_eval:
+        "Unimplemented 2D (time,charge) mode!"); here the
+        nearest-neighbor metric is the box-normalized distance
+        max(|dt|/min_twidth, |dq|/min_qwidth) so the adaptive bin is a
+        box scaled uniformly in both axes."""
         event_hit = np.asarray(event_hit).astype(bool)
         self.nchannels = len(event_hit)
         self.event_nhit = int(event_hit.sum())
@@ -97,12 +105,25 @@ class GPUPDF(object):
         tmin, tmax = self.trange
 
         in_pdf = (mc_t < 1e8) & (mc_t >= tmin) & (mc_t <= tmax)
+        if not self.time_only:
+            mc_q = gpuchannels.q.reshape(ndaq, self.nchannels)
+            qmin, qmax = self.qrange
+            in_pdf = in_pdf & (mc_q >= qmin) & (mc_q <= qmax)
         self.eval_hitcount = self.eval_hitcount + \
             in_pdf.sum(axis=0).astype(jnp.uint32)
 
-        dist = jnp.abs(mc_t - self.event_time[None, :])
-        close = in_pdf & (dist < self.min_twidth / 2.0) \
-            & self.event_hit[None, :]
+        if self.time_only:
+            dist = jnp.abs(mc_t - self.event_time[None, :])
+            close = in_pdf & (dist < self.min_twidth / 2.0) \
+                & self.event_hit[None, :]
+        else:
+            # box-normalized 2D distance: 0.5 at the min-bin boundary
+            dist = jnp.maximum(
+                jnp.abs(mc_t - self.event_time[None, :])
+                / self.min_twidth,
+                jnp.abs(mc_q - self.event_charge[None, :])
+                / self.min_qwidth)
+            close = in_pdf & (dist < 0.5) & self.event_hit[None, :]
         self.eval_bincount = self.eval_bincount + \
             close.sum(axis=0).astype(jnp.uint32)
 
@@ -123,10 +144,12 @@ class GPUPDF(object):
         pdf_value = np.zeros(len(hitcount), dtype=float)
         pdf_frac_uncert = np.zeros_like(pdf_value)
 
+        bin_measure = self.min_twidth if self.time_only \
+            else self.min_twidth * self.min_qwidth
         high_stats = bincount >= self.min_bin_content
         if high_stats.any():
             pdf_value[high_stats] = bincount[high_stats].astype(float) \
-                / hitcount[high_stats] / self.min_twidth
+                / hitcount[high_stats] / bin_measure
             pdf_frac_uncert[high_stats] = 1.0 / np.sqrt(bincount[high_stats])
 
         low_stats = ~high_stats & (hitcount > 0) & evhit
@@ -137,8 +160,16 @@ class GPUPDF(object):
         last_valid = np.maximum(0, (nearest_mc < 1e9).sum(axis=1) - 1)
         distance = nearest_mc[np.arange(len(last_valid)), last_valid]
         if low_stats.any():
-            pdf_value[low_stats] = (last_valid[low_stats] + 1).astype(float) \
-                / hitcount[low_stats] / distance[low_stats] / 2.0
+            k = (last_valid[low_stats] + 1).astype(float)
+            if self.time_only:
+                # window of width 2*distance around the event time
+                measure = 2.0 * distance[low_stats]
+            else:
+                # box scaled by normalized distance u: area
+                # (2u*min_twidth) x (2u*min_qwidth)
+                u = distance[low_stats]
+                measure = 4.0 * u * u * self.min_twidth * self.min_qwidth
+            pdf_value[low_stats] = k / hitcount[low_stats] / measure
             pdf_frac_uncert[low_stats] = 1.0 / np.sqrt(
                 last_valid[low_stats] + 1)
 

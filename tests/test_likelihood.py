@@ -79,3 +79,23 @@ def test_demo_detection_fraction():
     # black sphere absorbs a large share
     absorbed = ((flags & event.SURFACE_ABSORB) > 0).mean()
     assert absorbed > 0.2
+
+
+def test_likelihood_time_charge_2d(box_sim):
+    """time_only=False: the 2D (t,q) variable-bin estimator runs and
+    still discriminates vertex position (exceeds the reference, whose
+    2D vbin mode is unimplemented — ref gpu/pdf.py get_pdf_eval)."""
+    ev = next(box_sim.simulate(photon_bomb(4000, 400.0, (300, 0, 0),
+                                           t0=20.0).photons_beg,
+                               run_daq=True))
+    lik = Likelihood(box_sim, event=ev, trange=(-0.5, 200.0),
+                     time_only=False)
+
+    def nll(pos):
+        return lik.eval(bombs(pos), nevals=2, nreps=2, ndaq=8)
+
+    right = nll((300, 0, 0))
+    wrong = nll((-300, 0, 0))
+    assert np.isfinite(right.nominal_value)
+    assert np.isfinite(wrong.nominal_value)
+    assert right.nominal_value < wrong.nominal_value
