@@ -62,6 +62,11 @@ def native():
                                       i64p]
         lib.segment_min_max_u32.argtypes = [u32p, u32p, i64p, i64p,
                                             ctypes.c_int64, u32p, u32p]
+        f64p = ctypes.POINTER(ctypes.c_double)
+        lib.csg_boolean.restype = ctypes.c_int64
+        lib.csg_boolean.argtypes = [ctypes.c_int, f64p, ctypes.c_int64,
+                                    f64p, ctypes.c_int64]
+        lib.csg_fetch.argtypes = [f64p]
         _lib = lib
         logger.info('native helpers loaded from %s', out)
     except Exception as exc:  # no toolchain / build failure: fall back
@@ -135,3 +140,19 @@ def segment_min_max(lo, hi, first_child, nchild):
         _ptr(first_child, ctypes.c_int64), _ptr(nchild, ctypes.c_int64),
         npar, _ptr(out_lo, ctypes.c_uint32), _ptr(out_hi, ctypes.c_uint32))
     return out_lo, out_hi
+
+
+def csg_boolean(op_code, tris_a, tris_b):
+    """(n,3,3) f64 output triangle soup, or None without the library.
+    op_code: 0=union, 1=subtraction, 2=intersection."""
+    lib = native()
+    if lib is None:
+        return None
+    tris_a = np.ascontiguousarray(tris_a, dtype=np.float64)
+    tris_b = np.ascontiguousarray(tris_b, dtype=np.float64)
+    n = lib.csg_boolean(op_code,
+                        _ptr(tris_a, ctypes.c_double), len(tris_a),
+                        _ptr(tris_b, ctypes.c_double), len(tris_b))
+    out = np.empty((n, 3, 3), dtype=np.float64)
+    lib.csg_fetch(_ptr(out, ctypes.c_double))
+    return out

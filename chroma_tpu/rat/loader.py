@@ -184,23 +184,52 @@ class RATGeoLoader:
                 rot = self.rot_map[rot.get('ref')]
         return pos, rot
 
+    def _boolean_mesh(self, elem, op):
+        """Boolean solid via native BSP CSG (chroma_tpu/csg.py; the
+        reference routes these through gmsh/OCC — rat/gen_mesh.py:56).
+        The GDML transform applies to the second solid."""
+        from chroma_tpu import csg
+        from chroma_tpu.geometry import Mesh
+
+        first = self.build_mesh(elem.find('first').get('ref'))
+        second = self.build_mesh(elem.find('second').get('ref'))
+        if first is None or second is None:
+            return first if second is None else second
+
+        def placed(mesh, pos, rot):
+            verts = mesh.vertices
+            if rot is not None:
+                angles = gdml.get_vals(rot)
+                x_rot = make_rotation_matrix(angles[0], [1, 0, 0])
+                y_rot = make_rotation_matrix(angles[1], [0, 1, 0])
+                z_rot = make_rotation_matrix(angles[2], [0, 0, 1])
+                verts = np.inner(verts, x_rot @ y_rot @ z_rot)
+            if pos is not None:
+                verts = verts + np.asarray(gdml.get_vals(pos),
+                                           dtype=float)
+            if verts is mesh.vertices:
+                return mesh
+            return Mesh(verts, mesh.triangles,
+                        remove_duplicate_vertices=False,
+                        remove_null_triangles=False)
+
+        fpos, frot = self.get_pos_rot(
+            elem, refs=('firstposition', 'firstrotation'))
+        first = placed(first, fpos, frot)
+        pos, rot = self.get_pos_rot(elem)
+        second = placed(second, pos, rot)
+        return csg.boolean(op, first, second)
+
     def build_mesh(self, solid_ref):
-        """Mesh for the named solid (primitives native; booleans need
-        gmsh)."""
+        """Mesh for the named solid (primitives native; boolean solids
+        via chroma_tpu.csg)."""
         if self.solidsToIgnore(solid_ref):
             logger.info('Ignoring solid: %s', solid_ref)
             return None
         elem = self.solid_xml_map[solid_ref]
         mesh_type = elem.tag
         if mesh_type in ('union', 'subtraction', 'intersection'):
-            try:
-                import gmsh  # noqa: F401
-            except ImportError:
-                raise NotImplementedError(
-                    'GDML boolean solid %r requires the optional gmsh '
-                    'dependency' % solid_ref)
-            raise NotImplementedError(
-                'gmsh boolean meshing is not wired up in this build')
+            return self._boolean_mesh(elem, mesh_type)
         dispatcher = {
             'box': gdml.box,
             'eltube': gdml.eltube,

