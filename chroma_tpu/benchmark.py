@@ -22,7 +22,8 @@ def _sync(x):
     jax.block_until_ready(x)
     # the tunneled platform sometimes returns early from
     # block_until_ready; a host fetch guarantees completion
-    np.asarray(jax.tree_util.tree_leaves(x)[0][:1])
+    leaf = jax.tree_util.tree_leaves(x)[0]
+    np.asarray(leaf[:1] if getattr(leaf, 'ndim', 0) else leaf)
 
 
 def _center_rays(nphotons, seed=0, sort=True):

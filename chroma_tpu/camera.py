@@ -39,6 +39,9 @@ class Camera(object):
     rotate/zoom via mouse + arrow keys.
     """
 
+    FILM_WIDTH = 35.0
+    FOCAL_LENGTH = 18.0
+
     def __init__(self, geometry, size=(800, 600), device_id=None,
                  alpha_depth=10):
         self.geometry = geometry
@@ -62,7 +65,8 @@ class Camera(object):
     def _update_rays(self):
         pos, dir = from_film(self.viewpoint, axis1=self.axis1,
                              axis2=self.axis2, size=self.size,
-                             width=35.0, focal_length=18.0)
+                             width=self.FILM_WIDTH,
+                             focal_length=self.FOCAL_LENGTH)
         self.rays = GPURays(pos, dir, max_alpha_depth=self.alpha_depth)
 
     # ---- transforms --------------------------------------------------
@@ -72,9 +76,154 @@ class Camera(object):
         self.rays.translate(v)
 
     def rotate(self, phi, n):
+        from chroma_tpu.transform import make_rotation_matrix
         self.rays.rotate_around_point(phi, n, self.mesh_center)
-        self.viewpoint = np.asarray(
-            self.rays.pos.mean(axis=0))  # approximate
+        rot = make_rotation_matrix(phi, n)
+        self.viewpoint = self.mesh_center \
+            + np.inner(self.viewpoint - self.mesh_center, rot)
+        self.axis1 = np.inner(self.axis1, rot)
+        self.axis2 = np.inner(self.axis2, rot)
+
+    # ---- overlays (photon tracks, vertices, BVH wireframe) -----------
+
+    def project(self, points):
+        """World points -> (col, row) pixel coordinates + a visibility
+        mask, using the same pinhole geometry as from_film."""
+        points = np.atleast_2d(np.asarray(points, dtype=float))
+        normal = np.cross(self.axis1, self.axis2)
+        v = points - self.viewpoint
+        depth = v @ normal
+        ok = depth > 1e-6
+        safe = np.where(ok, depth, 1.0)
+        xf = self.FOCAL_LENGTH * (v @ self.axis2) / safe
+        yf = self.FOCAL_LENGTH * (v @ self.axis1) / safe
+        w = self.FILM_WIDTH
+        h = w * self.size[1] / float(self.size[0])
+        col = (xf + w / 2.0) / w * (self.size[0] - 1)
+        row = (self.size[1] - 1) - (yf + h / 2.0) / h * (self.size[1] - 1)
+        return col, row, ok
+
+    def draw_segments(self, img, starts, ends, color):
+        """Rasterize world-space line segments onto an (H,W,3) image."""
+        c0, r0, ok0 = self.project(starts)
+        c1, r1, ok1 = self.project(ends)
+        keep = ok0 & ok1
+        if not keep.any():
+            return img
+        c0, r0, c1, r1 = c0[keep], r0[keep], c1[keep], r1[keep]
+        length = np.maximum(np.hypot(c1 - c0, r1 - r0), 1.0)
+        nsamp = np.minimum(length.astype(int) + 1, 2048)
+        color = np.asarray(color, dtype=np.uint8)
+        h, w = img.shape[:2]
+        for i in range(len(c0)):
+            t = np.linspace(0.0, 1.0, nsamp[i])
+            cc = (c0[i] + t * (c1[i] - c0[i])).astype(int)
+            rr = (r0[i] + t * (r1[i] - r0[i])).astype(int)
+            m = (cc >= 0) & (cc < w) & (rr >= 0) & (rr < h)
+            img[rr[m], cc[m]] = color
+        return img
+
+    # palette by creation process (track overlays)
+    TRACK_COLORS = {
+        'cherenkov': (64, 160, 255),
+        'scintillation': (255, 220, 64),
+        'reemission': (64, 255, 128),
+        'other': (200, 200, 200),
+    }
+
+    def render_event_to_array(self, ev, max_tracks=500):
+        """Geometry render with the event's photon tracks overlaid as
+        projected polylines (the reference extrudes photon tracks into
+        the scene, chroma/camera.py:849-895; here they rasterize onto
+        the image plane, which also works headless)."""
+        from chroma_tpu import event as evmod
+        img = self.render_to_array().copy()
+        tracks = getattr(ev, 'photon_tracks', None)
+        if tracks:
+            for tr in tracks[:max_tracks]:
+                if tr is None or len(tr) < 2:
+                    continue
+                flags = int(tr.flags[-1])
+                if flags & evmod.CHERENKOV:
+                    color = self.TRACK_COLORS['cherenkov']
+                elif flags & evmod.SCINTILLATION:
+                    color = self.TRACK_COLORS['scintillation']
+                elif flags & evmod.BULK_REEMIT:
+                    color = self.TRACK_COLORS['reemission']
+                else:
+                    color = self.TRACK_COLORS['other']
+                self.draw_segments(img, tr.pos[:-1], tr.pos[1:], color)
+        for v in (ev.vertices or []):
+            if getattr(v, 'steps', None) is not None:
+                pts = np.column_stack([v.steps.x, v.steps.y, v.steps.z])
+                if len(pts) >= 2:
+                    self.draw_segments(img, pts[:-1], pts[1:],
+                                       (255, 64, 64))
+        return img
+
+    _BOX_EDGES = [(0, 1), (0, 2), (0, 4), (1, 3), (1, 5), (2, 3),
+                  (2, 6), (3, 7), (4, 5), (4, 6), (5, 7), (6, 7)]
+
+    def render_bvh_to_array(self, layer=1, color=(255, 128, 0),
+                            max_nodes=2048):
+        """Geometry render with a BVH layer's AABBs as wireframe
+        overlay (reference: chroma/camera.py:442)."""
+        from chroma_tpu.bvh.bvh import unpack_nodes
+        img = self.render_to_array().copy()
+        bvh = self.geometry.bvh
+        sl = bvh.get_layer(min(layer, bvh.layer_count() - 1))
+        info = unpack_nodes(sl.nodes[:max_nodes])
+        wc = bvh.world_coords
+        xlo = np.column_stack([info['xlo'], info['ylo'], info['zlo']])
+        xhi = np.column_stack([info['xhi'], info['yhi'], info['zhi']])
+        lo = wc.world_origin + xlo.astype(float) * wc.world_scale
+        hi = wc.world_origin + xhi.astype(float) * wc.world_scale
+        # corner c of box b: pick lo/hi per axis by bit pattern
+        bits = np.array([[(c >> k) & 1 for k in range(3)]
+                         for c in range(8)], dtype=bool)   # (8,3)
+        pts = np.where(bits[None, :, :], hi[:, None, :], lo[:, None, :])
+        for e0, e1 in self._BOX_EDGES:
+            self.draw_segments(img, pts[:, e0], pts[:, e1], color)
+        return img
+
+    def render_anaglyph_to_array(self, eye_sep=None):
+        """Red/cyan stereo render (reference: chroma/camera.py:155)."""
+        if eye_sep is None:
+            eye_sep = 0.01 * self.scale
+        offset = normalize(np.cross(
+            np.cross(self.axis1, self.axis2), self.axis1)) * eye_sep
+        saved = self.viewpoint.copy()
+        try:
+            self.viewpoint = saved - offset / 2
+            self._update_rays()
+            left = self.render_to_array()
+            self.viewpoint = saved + offset / 2
+            self._update_rays()
+            right = self.render_to_array()
+        finally:
+            self.viewpoint = saved
+            self._update_rays()
+        img = right.copy()
+        # luminance of the left eye into the red channel
+        lum = (0.299 * left[..., 0] + 0.587 * left[..., 1]
+               + 0.114 * left[..., 2]).astype(np.uint8)
+        img[..., 0] = lum
+        return img
+
+    def orbit_movie(self, path_pattern, nframes=36, axis=None):
+        """Render an orbit around the target as numbered PNG frames
+        (the reference captures movies frame-by-frame from its pygame
+        loop, chroma/camera.py:574)."""
+        from PIL import Image
+        axis = self.axis1 if axis is None else axis
+        paths = []
+        for i in range(nframes):
+            arr = self.render_to_array()
+            path = path_pattern % i
+            Image.fromarray(arr).save(path)
+            paths.append(path)
+            self.rotate(2 * np.pi / nframes, axis)
+        return paths
 
     # ---- rendering ---------------------------------------------------
 
@@ -177,6 +326,17 @@ class EventViewer(Camera):
     def next_event(self):
         self.event_index = (self.event_index + 1) % len(self.events)
         self.color_by_event(self.events[self.event_index])
+
+    def snapshot_event(self, filename, mode='charge'):
+        """PNG of the current event: channels colored + photon tracks /
+        particle steps overlaid."""
+        from PIL import Image
+        ev = self.events[self.event_index]
+        self.color_by_event(ev, mode=mode)
+        arr = self.render_event_to_array(ev)
+        Image.fromarray(arr).save(filename)
+        logger.info('wrote %s', filename)
+        return filename
 
 
 def view(obj, size=(800, 600), **kwargs):

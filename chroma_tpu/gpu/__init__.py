@@ -207,7 +207,10 @@ class GPUPhotons(object):
         # tracking mode: one step per host iteration, snapshot each
         from chroma_tpu.ops.propagate import propagate_step
         ids = np.arange(len(self))
-        step_ids, step_photons = [], []
+        # step 0 snapshot: creation positions, so every track polyline
+        # starts at the photon's origin
+        step_ids = [ids.copy()]
+        step_photons = [photon_ops.download_photons(self.state)]
         for step in range(max_steps):
             key, sk = jax.random.split(key)
             sf = scatter_first if step == 0 else 0

@@ -49,23 +49,23 @@ def section_c(rows):
     ng = 1 << 20
 
     @jax.jit
-    def gbench(ptr):
+    def gbench(rows, ptr):
         def body(i, acc):
             r = rows[(ptr + i) % R]
-            return acc + jnp.sum(r[:, :4].astype(jnp.uint64))
-        return jax.lax.fori_loop(0, 8, body, jnp.zeros((), jnp.uint64))
+            return acc + jnp.sum(r[:, :4].astype(jnp.uint32))
+        return jax.lax.fori_loop(0, 8, body, jnp.zeros((), jnp.uint32))
 
     for frac in (0.0001, 0.001, 0.01, 0.1, 1.0):
         hi = max(int(R * frac), 1)
         ptr = jax.random.randint(kk, (ng,), 0, hi, dtype=jnp.int32)
         ptr = ptr.block_until_ready()
-        t = timeit(lambda: gbench(ptr), number=2)
+        t = timeit(lambda: gbench(rows, ptr), number=2)
         log(f'C gather frac={frac:<7} ws={hi*rows.shape[1]*4/2**20:9.1f}'
             f' MiB: {t/(ng*8)*1e9:.2f} ns/row')
 
     ptr = jnp.sort(jax.random.randint(kk, (ng,), 0, R, dtype=jnp.int32))
     ptr = ptr.block_until_ready()
-    t = timeit(lambda: gbench(ptr), number=2)
+    t = timeit(lambda: gbench(rows, ptr), number=2)
     log(f'C gather sorted full-table: {t/(ng*8)*1e9:.2f} ns/row')
 
 
