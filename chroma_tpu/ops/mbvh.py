@@ -16,6 +16,15 @@ c-th pending child lives at base + c).  Every iteration:
   4. internal rows: slab-test all BRANCH child AABBs (pruned against
      the best hit) and push the hit mask one level deeper.
 
+Lock-step tails are the dominant cost (profiled on the full demo: at
+64 iterations <1% of lanes still traverse, yet the uncapped loop runs
+200+ iterations, every one costing the full batch width).  The walk
+therefore runs as a CASCADE: a full-width stage for the typical ray,
+then pending rays are compacted into an 8x narrower buffer, then a
+64x one for the deep tail — sum-of-work instead of max-times-width.
+Compaction is a cumsum + 1D-scatter stable partition (computed-index
+1D scatters are fine on TPU; 2D ones are not — ARCHITECTURE.md).
+
 All per-slot reductions use one-hot selects — fancy `[lane, idx]`
 indexing is an XLA gather in disguise and costs as much as an HBM row
 fetch (ARCHITECTURE.md).
@@ -35,57 +44,29 @@ from chroma_tpu.bvh.mbvh import (ROW_WIDTH, HDR_KIND, HDR_BASE, BOX_OFF,
 
 MAX_LEVELS = 12
 
+# cascade schedule: (iteration budget at full width, first shrink
+# factor, budget at that width, second shrink factor).  The final
+# stage runs to completion.  Tuned on the full-demo profile
+# (tools/profile_step.py section B).
+CASCADE_BUDGET_0 = 24
+CASCADE_SHRINK_1 = 8
+CASCADE_BUDGET_1 = 48
+CASCADE_SHRINK_2 = 64
+CASCADE_MIN_N = 8192          # below this, one plain loop is cheaper
 
-@partial(jax.jit, static_argnames=('max_iters',))
-def intersect_mesh(origin, direction, geom, last_hit_triangle=None,
-                   active=None, max_iters=65536):
-    """Closest-hit intersection against the MBVH.
 
-    Args:
-      origin, direction: (N,3) f32, direction normalized.
-      geom: GeometryTables (with mbvh_rows).
-      last_hit_triangle: (N,) i32 triangle to skip, or None.
-
-    Returns dict with:
-      triangle: (N,) i32 (-1 = miss)
-      distance: (N,) f32 (inf on miss)
-      normal:   (N,3) f32 geometric normal (unnormalized cross product)
-      material_code: (N,) u32 packed material/surface code
-    """
-    n = origin.shape[0]
-    if last_hit_triangle is None:
-        last_hit_triangle = jnp.full(n, -1, jnp.int32)
-
+def _walk_body(geom, depth):
+    """The per-iteration walker body over a traversal state dict."""
     rows = geom.mbvh_rows
-    depth = min(geom.mbvh_depth + 1, MAX_LEVELS)
-
-    inv_dir = 1.0 / direction
-    neg_origin_inv_dir = -origin * inv_dir
-
     iota_d = jnp.arange(depth, dtype=jnp.int32)
     slots = jnp.arange(BRANCH, dtype=jnp.int32)
 
-    # rays with active=False never start traversing: they gather row 0
-    # every iteration (coherent, cheap) and return a miss — essential
-    # when most of a propagating batch has already terminated
-    start = jnp.uint32(1) if active is None \
-        else active.astype(jnp.uint32)
-    masks0 = jnp.zeros((n, depth), jnp.uint32).at[:, 0].set(start)
-    state = dict(
-        masks=masks0,
-        bases=jnp.zeros((n, depth), jnp.uint32),
-        best_tri=jnp.full(n, -1, jnp.int32),
-        min_dist=jnp.full(n, jnp.inf, jnp.float32),
-        best_norm=jnp.zeros((n, 3), jnp.float32),
-        best_mat=jnp.zeros(n, jnp.uint32),
-        iters=jnp.zeros((), jnp.int32),
-    )
-
-    def cond(s):
-        return jnp.any(s['masks'] != 0) & (s['iters'] < max_iters)
-
     def body(s):
         masks, bases = s['masks'], s['bases']
+        direction = s['dir']
+        origin = s['org']
+        inv_dir = s['inv_dir']
+        neg_origin_inv_dir = s['noid']
 
         # deepest level with pending children (predicated scan)
         pending = masks != 0
@@ -102,7 +83,7 @@ def intersect_mesh(origin, direction, geom, last_hit_triangle=None,
                           masks)
 
         ptr = jnp.where(active, base_l + c, 0)
-        row = rows[ptr]                         # THE gather, (N, ROW_WIDTH)
+        row = rows[ptr]                     # THE gather, (N, ROW_WIDTH)
 
         kind = row[:, HDR_KIND] & jnp.uint32(1)
         count = (row[:, HDR_KIND] >> jnp.uint32(8)).astype(jnp.int32)
@@ -161,7 +142,7 @@ def intersect_mesh(origin, direction, geom, last_hit_triangle=None,
 
         tri_ids = row[:, TRI_ID_OFF:TRI_ID_OFF + BRANCH].astype(jnp.int32)
         valid = (t_hit & (slots[None, :] < count[:, None])
-                 & (tri_ids != last_hit_triangle[:, None]))
+                 & (tri_ids != s['lht'][:, None]))
         t_dist = jnp.where(valid, t_d, jnp.inf)
         cl_dist = jnp.min(t_dist, axis=1)
         # one-hot of the FIRST minimal slot (ties broken like argmin)
@@ -184,7 +165,8 @@ def intersect_mesh(origin, direction, geom, last_hit_triangle=None,
         best_norm = jnp.where(improved[:, None], norm_new, s['best_norm'])
         mats = row[:, MAT_OFF:MAT_OFF + BRANCH]
         best_mat = jnp.where(improved,
-                             pick(mats.astype(jnp.int32)).astype(jnp.uint32),
+                             pick(mats.astype(jnp.int32)).astype(
+                                 jnp.uint32),
                              s['best_mat'])
 
         # ---- internal: slab-test all child boxes, component-wise ----
@@ -219,11 +201,119 @@ def intersect_mesh(origin, direction, geom, last_hit_triangle=None,
         bases = jnp.where(onehot_child & push[:, None],
                           row[:, HDR_BASE][:, None], bases)
 
-        return dict(masks=masks, bases=bases, best_tri=best_tri,
-                    min_dist=min_dist, best_norm=best_norm,
-                    best_mat=best_mat, iters=s['iters'] + 1)
+        out = dict(s)
+        out.update(masks=masks, bases=bases, best_tri=best_tri,
+                   min_dist=min_dist, best_norm=best_norm,
+                   best_mat=best_mat, iters=s['iters'] + 1)
+        return out
 
-    out = jax.lax.while_loop(cond, body, state)
+    return body
+
+
+def _run_stage(state, body, budget, target=None):
+    """Run the walker until everyone is done, the stage budget is
+    exhausted AND (if given) at most ``target`` rays remain pending."""
+    start = state['iters']
+
+    def cond(s):
+        pending = jnp.any(s['masks'] != 0, axis=1)
+        more = jnp.any(pending)
+        in_budget = (s['iters'] - start) < budget
+        if target is None:
+            return more & in_budget
+        return more & (in_budget
+                       | (jnp.sum(pending.astype(jnp.int32)) > target))
+
+    return jax.lax.while_loop(cond, body, state)
+
+
+def _compact(state, m):
+    """Stable-partition pending rays to the front; return the first
+    ``m`` lanes as a new state plus the source indices for scatter
+    -back.  Extra lanes (when fewer than m are pending) carry finished
+    rays whose empty masks make them inert."""
+    n = state['masks'].shape[0]
+    pending = jnp.any(state['masks'] != 0, axis=1)
+    cnt = jnp.cumsum(pending.astype(jnp.int32))
+    total = cnt[-1]
+    rank_n = jnp.cumsum((~pending).astype(jnp.int32)) - 1
+    dest = jnp.where(pending, cnt - 1, total + rank_n)
+    src = jnp.zeros(n, jnp.int32).at[dest].set(
+        jnp.arange(n, dtype=jnp.int32))
+    idx = src[:m]
+    sub = {k: (v if k == 'iters' else v[idx]) for k, v in state.items()}
+    return sub, idx
+
+
+_RESULT_KEYS = ('best_tri', 'min_dist', 'best_norm', 'best_mat', 'masks')
+
+
+def _scatter_back(state, sub, idx):
+    out = dict(state)
+    for k in _RESULT_KEYS:
+        out[k] = state[k].at[idx].set(sub[k])
+    out['iters'] = sub['iters']
+    return out
+
+
+@partial(jax.jit, static_argnames=('max_iters',))
+def intersect_mesh(origin, direction, geom, last_hit_triangle=None,
+                   active=None, max_iters=65536):
+    """Closest-hit intersection against the MBVH.
+
+    Args:
+      origin, direction: (N,3) f32, direction normalized.
+      geom: GeometryTables (with mbvh_rows).
+      last_hit_triangle: (N,) i32 triangle to skip, or None.
+
+    Returns dict with:
+      triangle: (N,) i32 (-1 = miss)
+      distance: (N,) f32 (inf on miss)
+      normal:   (N,3) f32 geometric normal (unnormalized cross product)
+      material_code: (N,) u32 packed material/surface code
+      incomplete: (N,) bool rays stopped by max_iters (callers retry)
+    """
+    n = origin.shape[0]
+    if last_hit_triangle is None:
+        last_hit_triangle = jnp.full(n, -1, jnp.int32)
+
+    depth = min(geom.mbvh_depth + 1, MAX_LEVELS)
+
+    start = jnp.uint32(1) if active is None \
+        else active.astype(jnp.uint32)
+    state = dict(
+        masks=jnp.zeros((n, depth), jnp.uint32).at[:, 0].set(start),
+        bases=jnp.zeros((n, depth), jnp.uint32),
+        best_tri=jnp.full(n, -1, jnp.int32),
+        min_dist=jnp.full(n, jnp.inf, jnp.float32),
+        best_norm=jnp.zeros((n, 3), jnp.float32),
+        best_mat=jnp.zeros(n, jnp.uint32),
+        org=origin,
+        dir=direction,
+        inv_dir=1.0 / direction,
+        noid=-origin * (1.0 / direction),
+        lht=last_hit_triangle,
+        iters=jnp.zeros((), jnp.int32),
+    )
+    body = _walk_body(geom, depth)
+
+    use_cascade = (n >= CASCADE_MIN_N and max_iters > CASCADE_BUDGET_0
+                   + CASCADE_BUDGET_1)
+    if not use_cascade:
+        out = _run_stage(state, body, max_iters)
+    else:
+        m1 = n // CASCADE_SHRINK_1
+        m2 = max(n // CASCADE_SHRINK_2, 256)
+        # stage 0: full width for the typical ray; keep going past the
+        # budget if more than m1 rays still need the tree
+        state = _run_stage(state, body, CASCADE_BUDGET_0, target=m1)
+        sub1, idx1 = _compact(state, m1)
+        sub1 = _run_stage(sub1, body, CASCADE_BUDGET_1, target=m2)
+        sub2, idx2 = _compact(sub1, m2)
+        sub2 = _run_stage(sub2, body, max_iters)
+        sub1 = _scatter_back(sub1, sub2, idx2)
+        out = _scatter_back(state, sub1, idx1)
+
     # rays stopped by max_iters still have pending work: their partial
     # result must not be trusted (callers retry them)
     incomplete = jnp.any(out['masks'] != 0, axis=1)

@@ -90,3 +90,44 @@ def test_mbvh_material_codes_roundtrip():
     res = mbvh_ops.intersect_mesh(origin, direction, geom)
     tri = int(res['triangle'][0])
     assert int(res['material_code'][0]) == int(geom.material_codes[tri])
+
+
+def test_cascade_matches_plain_walker():
+    """The cascade-shrinking walk (active at N >= CASCADE_MIN_N) must
+    return bit-identical results to a single full-width loop."""
+    import jax
+    mesh = make.sphere(1.0, nsteps=24)
+    geom = pack_geometry_for(mesh)
+    n = max(mbvh_ops.CASCADE_MIN_N, 8192)
+    origin, direction = random_rays(n, box=2.0, seed=11)
+    origin = jnp.asarray(origin)
+    direction = jnp.asarray(direction)
+    # half the rays inactive, as in a propagating batch
+    active = jnp.asarray(np.arange(n) % 2 == 0)
+
+    res_c = mbvh_ops.intersect_mesh(origin, direction, geom,
+                                    active=active)
+
+    plain = mbvh_ops.CASCADE_MIN_N
+    try:
+        mbvh_ops.CASCADE_MIN_N = 1 << 30     # force the plain loop
+        res_p = jax.jit(
+            mbvh_ops.intersect_mesh.__wrapped__,
+            static_argnames=('max_iters',))(origin, direction, geom,
+                                            active=active)
+    finally:
+        mbvh_ops.CASCADE_MIN_N = plain
+
+    np.testing.assert_array_equal(np.asarray(res_c['triangle']),
+                                  np.asarray(res_p['triangle']))
+    np.testing.assert_allclose(np.asarray(res_c['distance']),
+                               np.asarray(res_p['distance']), rtol=1e-6)
+    assert not np.asarray(res_c['incomplete']).any()
+
+
+def pack_geometry_for(mesh):
+    from chroma_tpu.geometry import Geometry, vacuum, Solid
+    geo = Geometry(vacuum)
+    geo.add_solid(Solid(mesh, vacuum, vacuum))
+    geo = create_geometry_from_obj(geo, update_bvh_cache=False)
+    return pack_geometry(geo)
