@@ -210,6 +210,27 @@ class Camera(object):
         img[..., 0] = lum
         return img
 
+    def render_hybrid_to_array(self, light_position=None, nlookup=2,
+                               exposure=None):
+        """Progressive photon-map render (reference chroma/camera.py
+        hybrid_render toggle + cuda/hybrid_render.cu): a point light at
+        ``light_position`` (default: the viewpoint) illuminates the
+        scene; camera rays read the resulting per-triangle map."""
+        from chroma_tpu.ops.hybrid import HybridRenderer
+        if getattr(self, '_hybrid', None) is None:
+            self._hybrid = HybridRenderer(self.gpu_geometry)
+        hyb = self._hybrid
+        if light_position is None:
+            light_position = self.viewpoint
+        for _ in range(max(nlookup - hyb.nlookup_calls, 0)):
+            hyb.update_xyz_lookup(light_position)
+        img = np.asarray(hyb.render(self.rays.pos, self.rays.dir))
+        if exposure is None:
+            peak = float(np.percentile(img, 99.5))
+            exposure = 1.0 / peak if peak > 0 else 1.0
+        pixels = hyb.process_image(img, scale=exposure)
+        return pixels_to_rgb_array(pixels, self.size)
+
     def orbit_movie(self, path_pattern, nframes=36, axis=None):
         """Render an orbit around the target as numbered PNG frames
         (the reference captures movies frame-by-frame from its pygame

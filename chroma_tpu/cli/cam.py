@@ -17,6 +17,13 @@ def main(argv=None):
     parser.add_argument('-i', dest='io_file', default=None,
                         help='event file for the event viewer')
     parser.add_argument('--alpha-depth', type=int, default=10)
+    parser.add_argument('--hybrid', action='store_true',
+                        help='progressive photon-map render '
+                        '(reference cuda/hybrid_render.cu)')
+    parser.add_argument('--bvh-layer', type=int, default=None,
+                        help='overlay this BVH layer as a wireframe')
+    parser.add_argument('--tracks', action='store_true',
+                        help='with -i: overlay photon tracks')
     args = parser.parse_args(argv)
 
     from chroma_tpu import loader
@@ -34,7 +41,17 @@ def main(argv=None):
 
     if args.output or not os.environ.get('DISPLAY'):
         out = args.output or 'chroma_camera.png'
-        cam.snapshot(out)
+        if args.hybrid:
+            from PIL import Image
+            Image.fromarray(cam.render_hybrid_to_array()).save(out)
+        elif args.bvh_layer is not None:
+            from PIL import Image
+            Image.fromarray(
+                cam.render_bvh_to_array(layer=args.bvh_layer)).save(out)
+        elif args.tracks and args.io_file:
+            cam.snapshot_event(out)
+        else:
+            cam.snapshot(out)
         print('wrote', out)
     else:
         cam.run()

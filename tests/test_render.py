@@ -145,3 +145,33 @@ def test_camera_rotate_consistency():
     for _ in range(8):
         cam.rotate(np.pi / 4, np.array([0.0, 0.0, 1.0]))
     np.testing.assert_allclose(cam.viewpoint, start, atol=1e-6)
+
+
+def test_hybrid_photon_map_render():
+    """Hybrid renderer: a diffuse box lit from inside produces a
+    nonzero, finite photon-map image (reference hybrid_render.cu)."""
+    from chroma_tpu.ops.hybrid import HybridRenderer
+    from chroma_tpu.geometry import Surface
+    from chroma_tpu.demo.optics import water
+
+    diffuse = Surface('diffuse_wall')
+    diffuse.set('reflect_diffuse', 0.7)
+    diffuse.set('absorb', 0.3)
+    geo = Geometry(water)
+    geo.add_solid(Solid(make.cube(2000.0), water, water,
+                        surface=diffuse))
+    geo = create_geometry_from_obj(geo, update_bvh_cache=False)
+    gg = gpu.GPUGeometry(geo)
+
+    hyb = HybridRenderer(gg, max_steps=6, seed=4)
+    hyb.update_xyz_lookup((0.0, 0.0, 0.0), chunk=1 << 12)
+    total = float(np.asarray(hyb.lookup[0]).sum()
+                  + np.asarray(hyb.lookup[1]).sum())
+    assert total > 0.0
+
+    pos, dirs = from_film((0.0, -900.0, 0.0), size=(32, 24))
+    img = np.asarray(hyb.render(jnp.asarray(pos), jnp.asarray(dirs)))
+    assert np.isfinite(img).all()
+    assert img.max() > 0.0
+    pixels = hyb.process_image(img, scale=1.0 / max(img.max(), 1e-9))
+    assert pixels.shape == (32 * 24,)

@@ -117,6 +117,18 @@ def section_b(geom, sstate):
             f' ({inc/max(nact,1)*100:.2f}% of {nact})')
 
 
+def section_d(geom, n):
+    """End-to-end: does per-step Morton sorting pay for itself?"""
+    for sort_every in (1, 0):
+        photons = _isotropic_photons(n, seed=5)
+        gp = gpu.GPUPhotons(photons)
+        key = jax.random.PRNGKey(11)
+        f = lambda se=sort_every: photon_ops.propagate(
+            gp.state, geom, key, max_steps=8, sort_every=se)[0]['flags']
+        t = timeit(f, number=2)
+        log(f'D propagate 8 steps sort_every={sort_every}: {t:.3f}s')
+
+
 def main():
     which = sys.argv[1] if len(sys.argv) > 1 else 'full'
     nlog2 = int(sys.argv[2]) if len(sys.argv) > 2 else 16
@@ -149,6 +161,8 @@ def main():
             section_a(geom, sstate, wo, inv_ext)
         if 'B' in sections:
             section_b(geom, sstate)
+    if 'D' in sections:
+        section_d(geom, n)
 
 
 if __name__ == '__main__':
