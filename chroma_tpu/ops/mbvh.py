@@ -77,9 +77,18 @@ def _walk_body(geom, depth):
         mask_l = jnp.sum(jnp.where(onehot, masks, 0), axis=1)
         base_l = jnp.sum(jnp.where(onehot, bases, 0), axis=1)
 
+        # near-to-far approximation: children are consecutive in local
+        # Morton order, so rays heading toward low coordinates visit
+        # high child indices first and vice versa — popping from the
+        # matching end prunes far subtrees sooner (the reference's
+        # stack walk has no ordering either, mesh.h:41; this is free)
         low = mask_l & (~mask_l + jnp.uint32(1))    # lowest set bit
-        c = jax.lax.population_count(low - jnp.uint32(1))
-        masks = jnp.where(onehot & active[:, None], masks ^ low[:, None],
+        c_low = jax.lax.population_count(low - jnp.uint32(1))
+        nz = jnp.maximum(mask_l, jnp.uint32(1))
+        c_high = jnp.uint32(31) - jax.lax.clz(nz)
+        c = jnp.where(s['rev'], c_high, c_low)
+        bit = jnp.uint32(1) << c
+        masks = jnp.where(onehot & active[:, None], masks ^ bit[:, None],
                           masks)
 
         ptr = jnp.where(active, base_l + c, 0)
@@ -293,6 +302,7 @@ def intersect_mesh(origin, direction, geom, last_hit_triangle=None,
         inv_dir=1.0 / direction,
         noid=-origin * (1.0 / direction),
         lht=last_hit_triangle,
+        rev=jnp.sum(direction, axis=1) < 0.0,
         iters=jnp.zeros((), jnp.int32),
     )
     body = _walk_body(geom, depth)
