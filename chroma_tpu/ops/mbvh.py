@@ -48,9 +48,9 @@ MAX_LEVELS = 12
 # factor, budget at that width, second shrink factor).  The final
 # stage runs to completion.  Tuned on the full-demo profile
 # (tools/profile_step.py section B).
-CASCADE_BUDGET_0 = 24
+CASCADE_BUDGET_0 = 14
 CASCADE_SHRINK_1 = 8
-CASCADE_BUDGET_1 = 48
+CASCADE_BUDGET_1 = 28
 CASCADE_SHRINK_2 = 64
 CASCADE_MIN_N = 8192          # below this, one plain loop is cheaper
 

@@ -91,9 +91,9 @@ def partition_photons(state):
 
 
 @partial(jax.jit, static_argnames=('max_steps', 'use_weights',
-                                   'sort_every', 'traversal_cap'))
+                                   'sort_every'))
 def propagate(state, geom, key, max_steps=100, use_weights=False,
-              scatter_first=0, sort_every=0, traversal_cap=65536):
+              scatter_first=0, sort_every=0):
     """Propagate all photons to termination or ``max_steps``.
 
     Equivalent of the reference propagate kernel loop
@@ -123,8 +123,7 @@ def propagate(state, geom, key, max_steps=100, use_weights=False,
                 state, sorted_state)
         sf = jnp.where(step == 0, scatter_first, 0)
         state = propagate_step(state, geom, sk, sf,
-                               use_weights=use_weights,
-                               traversal_cap=traversal_cap)
+                               use_weights=use_weights)
         return state, step + 1, key
 
     state, steps, _ = jax.lax.while_loop(
@@ -138,8 +137,7 @@ def _next_pow2(n):
 
 def propagate_compacting(state, geom, key, max_steps=100,
                          use_weights=False, scatter_first=0,
-                         steps_per_round=1, min_bucket=8192,
-                         traversal_cap=65536):
+                         steps_per_round=1, min_bucket=8192):
     """Host-driven wavefront propagation with live-photon compaction.
 
     The reference keeps its batch dense with double-buffered work
@@ -171,19 +169,14 @@ def propagate_compacting(state, geom, key, max_steps=100,
         key, sk = jax.random.split(key)
         sf = scatter_first if first else 0
         if bucket <= min_bucket:
-            # the surviving trickle: one early-exiting UNCAPPED chunk
-            # for all remaining steps — capped-traversal retries must
-            # complete here
+            # the surviving trickle: one early-exiting chunk for all
+            # remaining steps
             rounds = max_steps - total_steps
-            cap = 65536
         else:
             rounds = min(steps_per_round, max_steps - total_steps)
-            # forced/forbidden first-step scattering must not be lost
-            # to a traversal retry
-            cap = 65536 if (first and scatter_first) else traversal_cap
         sub, _ = propagate(sub, geom, sk, max_steps=rounds,
                            use_weights=use_weights, scatter_first=sf,
-                           sort_every=0, traversal_cap=cap)
+                           sort_every=0)
         if bucket == n:
             state = sub
         else:

@@ -236,17 +236,13 @@ def _rayleigh(state, u_cos, u_phi):
     return normalize(new_dir), normalize(new_pol)
 
 
-@partial(jax.jit, static_argnames=('use_weights', 'traversal_cap'))
-def propagate_step(state, geom, key, scatter_first, use_weights=False,
-                   traversal_cap=65536):
+@partial(jax.jit, static_argnames=('use_weights',))
+def propagate_step(state, geom, key, scatter_first, use_weights=False):
     """Advance every live photon by one step.  Returns new state.
 
-    ``traversal_cap`` bounds the BVH walk's lock-step iterations;
-    photons whose traversal did not finish within the cap are left
-    completely untouched (still alive) and retry on the next —
-    compacted, cheaper — step.  The lock-step cost of a traversal round
-    is its *slowest* ray, so capping at ~p99.9 of the visit
-    distribution trades a tiny retry fraction for the whole tail.
+    (The round-1 traversal-cap-with-retry experiment is gone: the
+    cascade-shrinking walk in ops/mbvh.py handles the lock-step tail
+    correctly and faster, so capping no longer has a role.)
     """
     n = state['pos'].shape[0]
     flags = state['flags']
@@ -264,10 +260,8 @@ def propagate_step(state, geom, key, scatter_first, use_weights=False,
 
     # ---- fill_state: closest hit + material decode -------------------
     res = mbvh.intersect_mesh(state['pos'], state['dir'], geom,
-                              state['last_hit_triangle'], active=active,
-                              max_iters=traversal_cap)
-    incomplete = res['incomplete']
-    alive = active & ~incomplete
+                              state['last_hit_triangle'], active=active)
+    alive = active & ~res['incomplete']
     tri = res['triangle']
     d_bound = res['distance']
     hit = alive & (tri >= 0)
