@@ -44,6 +44,12 @@ def main(argv=None):
     p_remove = sub.add_parser('remove')
     p_remove.add_argument('bvh_id')
 
+    p_opt = sub.add_parser('optimize', help='surface-area child '
+                           'ordering (reference bin/chroma-bvh:51)')
+    p_opt.add_argument('bvh_id')
+    p_opt.add_argument('-o', dest='out_name', default=None,
+                       help='output BVH name (default: overwrite)')
+
     args = parser.parse_args(argv)
 
     from chroma_tpu.cache import Cache
@@ -75,6 +81,18 @@ def main(argv=None):
         geo_name, bvh_name = parse_bvh_id(args.bvh_id)
         mesh_hash = cache.get_geometry_hash(geo_name)
         cache.remove_bvh(mesh_hash, bvh_name)
+    elif args.command == 'optimize':
+        from chroma_tpu.bvh.optimize import area_sort_children, \
+            layer_area
+        geo_name, bvh_name = parse_bvh_id(args.bvh_id)
+        mesh_hash = cache.get_geometry_hash(geo_name)
+        bvh = cache.load_bvh(mesh_hash, bvh_name)
+        before = layer_area(bvh.nodes)
+        start = time.time()
+        bvh = area_sort_children(bvh)
+        print('optimized in %1.1f s (area unchanged by ordering: '
+              '%1.3e)' % (time.time() - start, before))
+        cache.save_bvh(bvh, mesh_hash, args.out_name or bvh_name)
 
 
 if __name__ == '__main__':

@@ -136,3 +136,65 @@ def test_leaf_quantization_conservative():
         np.stack([info['xhi'], info['yhi'], info['zhi']], 1).astype(float))
     assert (tv >= lo[:, None, :] - 1e-6).all()
     assert (tv <= hi[:, None, :] + 1e-6).all()
+
+
+def test_optimize_layer_reduces_pair_area():
+    """Greedy sibling pairing lowers the summed pair-union area
+    (reference gpu/bvh.py:269 behavior)."""
+    from chroma_tpu.bvh.optimize import optimize_layer, \
+        _pair_area_matrix
+    from chroma_tpu.bvh.bvh import unpack_nodes
+    from chroma_tpu.bvh.build import create_leaf_nodes
+    from chroma_tpu import make
+
+    mesh = make.sphere(1.0, nsteps=12)
+    _, leaves, _ = create_leaf_nodes(mesh)
+    rng = np.random.RandomState(0)
+    shuffled = leaves[rng.permutation(len(leaves))]
+
+    def paired_area(nodes):
+        info = unpack_nodes(nodes)
+        lo = np.column_stack([info['xlo'], info['ylo'],
+                              info['zlo']]).astype(float)
+        hi = np.column_stack([info['xhi'], info['yhi'],
+                              info['zhi']]).astype(float)
+        m = (len(nodes) // 2) * 2
+        return sum(_pair_area_matrix(lo[i:i + 1], hi[i:i + 1],
+                                     lo[i + 1:i + 2],
+                                     hi[i + 1:i + 2])[0, 0]
+                   for i in range(0, m, 2))
+
+    before = paired_area(shuffled)
+    optimized, perm = optimize_layer(shuffled)
+    after = paired_area(optimized)
+    assert after < 0.7 * before
+    # permutation, not mutation: same nodes survive
+    assert sorted(map(tuple, optimized.tolist())) \
+        == sorted(map(tuple, shuffled.tolist()))
+
+
+def test_area_sort_children_preserves_intersections():
+    """Child reordering must not change what rays hit."""
+    import jax.numpy as jnp
+    from chroma_tpu.bvh.optimize import area_sort_children
+    from chroma_tpu import make
+    from chroma_tpu.geometry import Geometry, Solid, vacuum
+    from chroma_tpu.loader import create_geometry_from_obj
+    from chroma_tpu.ops.geometry_pack import pack_geometry
+    from chroma_tpu.ops import mesh as mesh_ops
+    from tests.test_intersect import random_rays
+
+    geo = Geometry(vacuum)
+    geo.add_solid(Solid(make.sphere(1.0, nsteps=12), vacuum, vacuum))
+    geo = create_geometry_from_obj(geo, update_bvh_cache=False)
+    origin, direction = random_rays(512, box=2.0, seed=3)
+
+    geom1 = pack_geometry(geo)
+    r1 = mesh_ops.intersect_mesh(jnp.asarray(origin),
+                                 jnp.asarray(direction), geom1)
+
+    geo.bvh = area_sort_children(geo.bvh)
+    geom2 = pack_geometry(geo)
+    r2 = mesh_ops.intersect_mesh(jnp.asarray(origin),
+                                 jnp.asarray(direction), geom2)
+    np.testing.assert_array_equal(np.asarray(r1[0]), np.asarray(r2[0]))
