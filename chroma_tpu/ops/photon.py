@@ -150,6 +150,10 @@ def propagate_compacting(state, geom, key, max_steps=100,
     scheme — at the cost of one host sync per round and one compile per
     (bucket, round-size) pair.
     """
+    import os
+    import time as _time
+    profile = bool(os.environ.get('CHROMA_TPU_PROFILE_ROUNDS'))
+
     n = state['pos'].shape[0]
     world_origin = geom.world_origin
     inv_extent = 1.0 / (geom.world_scale * 65535.0)
@@ -157,6 +161,7 @@ def propagate_compacting(state, geom, key, max_steps=100,
     total_steps = 0
     first = True
     bucket = n
+    t_prev = _time.time()
     while total_steps < max_steps:
         if not first:
             # partition so live photons form a prefix (dead to the end)
@@ -184,6 +189,12 @@ def propagate_compacting(state, geom, key, max_steps=100,
                      for k, v in state.items()}
         total_steps += rounds
         first = False
+        if profile:
+            jax.block_until_ready(state['flags'])
+            now = _time.time()
+            print('round: bucket=%7d rounds=%3d dt=%.3fs'
+                  % (bucket, rounds, now - t_prev), flush=True)
+            t_prev = now
     # restore the caller's photon order (the sorts permuted the batch)
     state = unsort_photons(state)
     return state, total_steps
