@@ -52,7 +52,7 @@ CASCADE_BUDGET_0 = 14
 CASCADE_SHRINK_1 = 8
 CASCADE_BUDGET_1 = 28
 CASCADE_SHRINK_2 = 64
-CASCADE_MIN_N = 8192          # below this, one plain loop is cheaper
+CASCADE_MIN_N = 2048          # below this, one plain loop is cheaper
 
 
 def _walk_body(geom, depth):

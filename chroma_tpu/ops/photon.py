@@ -3,11 +3,11 @@
 Replaces the reference host-side photon manager (reference:
 chroma/gpu/photon.py GPUPhotons): upload/download photon SoA state,
 run the step loop, extract hits.  Instead of double-buffered work
-queues with atomic appends (gpu/photon.py:192-259), the TPU loop keeps
-the batch dense and Morton-sorts photons by (position, direction)
-every step — terminated photons sink to the end of the sort order,
-live coherent photons gather from nearby BVH rows (the 6x locality
-effect measured in ARCHITECTURE.md), and the step loop exits when all
+queues with atomic appends (gpu/photon.py:192-259), the TPU loop
+partitions terminated photons to the end of the batch between rounds
+and shrinks the working prefix to the live population (gather cost is
+order-independent on this hardware — ARCHITECTURE.md — so an O(n)
+partition replaces the r1 Morton sort); the step loop exits when all
 photons carry terminal flags.
 """
 from functools import partial
@@ -137,7 +137,8 @@ def _next_pow2(n):
 
 def propagate_compacting(state, geom, key, max_steps=100,
                          use_weights=False, scatter_first=0,
-                         steps_per_round=1, min_bucket=8192):
+                         steps_per_round=2, min_bucket=8192,
+                         trickle_rounds=12):
     """Host-driven wavefront propagation with live-photon compaction.
 
     The reference keeps its batch dense with double-buffered work
@@ -169,14 +170,14 @@ def propagate_compacting(state, geom, key, max_steps=100,
             alive = int(_count_alive_jit(state))
             if alive == 0:
                 break
-            bucket = min(_next_pow2(max(alive, min_bucket)), n)
+            bucket = min(_next_pow2(max(alive, 256)), n)
         sub = {k: v[:bucket] for k, v in state.items()}
         key, sk = jax.random.split(key)
         sf = scatter_first if first else 0
         if bucket <= min_bucket:
-            # the surviving trickle: one early-exiting chunk for all
-            # remaining steps
-            rounds = max_steps - total_steps
+            # the surviving trickle: early-exiting chunks, re-shrunk
+            # every few steps as the population dies off
+            rounds = min(trickle_rounds, max_steps - total_steps)
         else:
             rounds = min(steps_per_round, max_steps - total_steps)
         sub, _ = propagate(sub, geom, sk, max_steps=rounds,
@@ -202,9 +203,12 @@ def propagate_compacting(state, geom, key, max_steps=100,
 
 @partial(jax.jit)
 def unsort_photons(state):
-    """Invert the accumulated Morton permutations via the carried
-    original-index field."""
-    order = jnp.argsort(state['index'])
+    """Invert the accumulated partition permutations via the carried
+    original-index field (an O(n) scatter — the index is a
+    permutation, so no sort is needed)."""
+    n = state['index'].shape[0]
+    order = jnp.zeros(n, jnp.int32).at[state['index'].astype(jnp.int32)
+                                       ].set(jnp.arange(n, dtype=jnp.int32))
     return {k: v[order] for k, v in state.items()}
 
 
