@@ -48,9 +48,9 @@ MAX_LEVELS = 12
 # factor, budget at that width, second shrink factor).  The final
 # stage runs to completion.  Tuned on the full-demo profile
 # (tools/profile_step.py section B).
-CASCADE_BUDGET_0 = 14
+CASCADE_BUDGET_0 = 12
 CASCADE_SHRINK_1 = 8
-CASCADE_BUDGET_1 = 28
+CASCADE_BUDGET_1 = 24
 CASCADE_SHRINK_2 = 64
 CASCADE_MIN_N = 2048          # below this, one plain loop is cheaper
 
@@ -219,6 +219,12 @@ def _walk_body(geom, depth):
     return body
 
 
+UNROLL = 4          # walker bodies per loop boundary: the ~126 us
+                    # fixed cost per while_loop iteration dominates
+                    # narrow stages, so amortize it (finished lanes do
+                    # inert row-0 work inside an unroll group)
+
+
 def _run_stage(state, body, budget, target=None):
     """Run the walker until everyone is done, the stage budget is
     exhausted AND (if given) at most ``target`` rays remain pending."""
@@ -233,7 +239,12 @@ def _run_stage(state, body, budget, target=None):
         return more & (in_budget
                        | (jnp.sum(pending.astype(jnp.int32)) > target))
 
-    return jax.lax.while_loop(cond, body, state)
+    def body_unrolled(s):
+        for _ in range(UNROLL):
+            s = body(s)
+        return s
+
+    return jax.lax.while_loop(cond, body_unrolled, state)
 
 
 def _compact(state, m):

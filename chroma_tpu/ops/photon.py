@@ -137,8 +137,8 @@ def _next_pow2(n):
 
 def propagate_compacting(state, geom, key, max_steps=100,
                          use_weights=False, scatter_first=0,
-                         steps_per_round=2, min_bucket=8192,
-                         trickle_rounds=12):
+                         steps_per_round=1, min_bucket=8192,
+                         trickle_rounds=96):
     """Host-driven wavefront propagation with live-photon compaction.
 
     The reference keeps its batch dense with double-buffered work

@@ -69,6 +69,29 @@ def section_c(rows):
     log(f'C gather sorted full-table: {t/(ng*8)*1e9:.2f} ns/row')
 
 
+def section_e(rows):
+    """Gather cost vs row width (k x 760 B fused rows)."""
+    kk = jax.random.PRNGKey(0)
+    ng = 1 << 19
+    for k in (1, 2, 4, 8):
+        R = (rows.shape[0] // k)
+        wide = rows[:R * k].reshape(R, rows.shape[1] * k)
+
+        @jax.jit
+        def gbench(wide, ptr, R=R):
+            def body(i, acc):
+                r = wide[(ptr + i) % R]
+                return acc + jnp.sum(r[:, :4].astype(jnp.uint32))
+            return jax.lax.fori_loop(0, 8, body,
+                                     jnp.zeros((), jnp.uint32))
+
+        ptr = jax.random.randint(kk, (ng,), 0, R, dtype=jnp.int32)
+        ptr = ptr.block_until_ready()
+        t = timeit(lambda: gbench(wide, ptr), number=2)
+        log(f'E gather width={k * 760:5d} B: {t/(ng*8)*1e9:.2f} ns/row '
+            f'({t/(ng*8)*1e9/k:.2f} ns per 760B-equivalent)')
+
+
 def midflight_state(geom, n):
     photons = _isotropic_photons(n)
     gp = gpu.GPUPhotons(photons)
@@ -153,6 +176,8 @@ def main():
 
     if 'C' in sections:
         section_c(rows)
+    if 'E' in sections:
+        section_e(rows)
     if 'A' in sections or 'B' in sections:
         wo = geom.world_origin
         inv_ext = 1.0 / (geom.world_scale * 65535.0)
