@@ -23,14 +23,19 @@ import numpy as np
 
 from chroma_tpu.bvh.build import create_leaf_nodes, _intra_run
 
-BRANCH = 28                    # children per block / triangles per cluster
-TARGET_DEGREE = 20             # Morton coarsening mean fan-out target
+BRANCH = 128                   # children per block / triangles per cluster
+NMASK_WORDS = BRANCH // 32     # u32 words per pending-children bitmask
+TARGET_DEGREE = 96             # Morton coarsening mean fan-out target
 
 # row layout (u32 words).  Cluster triangle vertices are quantized to
-# u16 on a per-cluster local grid (origin + per-axis scale): sub-10um
-# resolution for decimeter-scale clusters at 40% of the row bytes —
-# gather cost is per-row, but smaller tables gather with better
-# locality (ARCHITECTURE.md).
+# u16 on a per-cluster local grid (origin + per-axis scale).  BRANCH
+# is 128 because (a) fat-row gathers are latency-bound — a 3.4 KB row
+# costs ~1.3x a 760 B row while carrying 4.6x the content (measured,
+# tools/profile_step.py section E) — and (b) the TPU vector unit is
+# 128 lanes wide, so (N, BRANCH) slot math fills every lane (at the
+# r1 BRANCH=28, 78% of each vector row was padding).  Wider rows also
+# halve tree depth, and traversal iterations cost ~126 us each in
+# fixed overhead regardless of batch width.
 HDR_KIND = 0                   # bit0: 1=cluster; bits 8..15: count
 HDR_BASE = 1                   # internal: global row id of first child
 BOX_OFF = 2                    # internal: BRANCH x (x,y,z) lo|hi<<16
@@ -41,7 +46,7 @@ QVERT_WORDS_PER_COMP = BRANCH // 2          # component-major u16 pairs
 TRI_ID_OFF = QVERT_OFF + 9 * QVERT_WORDS_PER_COMP  # BRANCH tri ids
 MAT_OFF = TRI_ID_OFF + BRANCH               # BRANCH mat codes
 ROW_WIDTH = MAT_OFF + BRANCH                # 190 words = 760 B
-LAYOUT_VERSION = 3
+LAYOUT_VERSION = 4
 assert BRANCH % 2 == 0
 
 

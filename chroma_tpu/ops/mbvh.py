@@ -40,7 +40,7 @@ import jax.numpy as jnp
 from chroma_tpu.bvh.mbvh import (ROW_WIDTH, HDR_KIND, HDR_BASE, BOX_OFF,
                                  QORIGIN_OFF, QSCALE_OFF, QVERT_OFF,
                                  QVERT_WORDS_PER_COMP, TRI_ID_OFF,
-                                 MAT_OFF, BRANCH)
+                                 MAT_OFF, BRANCH, NMASK_WORDS)
 
 MAX_LEVELS = 12
 
@@ -48,9 +48,9 @@ MAX_LEVELS = 12
 # factor, budget at that width, second shrink factor).  The final
 # stage runs to completion.  Tuned on the full-demo profile
 # (tools/profile_step.py section B).
-CASCADE_BUDGET_0 = 12
+CASCADE_BUDGET_0 = 8
 CASCADE_SHRINK_1 = 8
-CASCADE_BUDGET_1 = 24
+CASCADE_BUDGET_1 = 16
 CASCADE_SHRINK_2 = 64
 CASCADE_MIN_N = 2048          # below this, one plain loop is cheaper
 
@@ -61,20 +61,23 @@ def _walk_body(geom, depth):
     iota_d = jnp.arange(depth, dtype=jnp.int32)
     slots = jnp.arange(BRANCH, dtype=jnp.int32)
 
+    iota_w = jnp.arange(NMASK_WORDS, dtype=jnp.uint32)
+
     def body(s):
-        masks, bases = s['masks'], s['bases']
+        masks, bases = s['masks'], s['bases']   # (n, depth, NW), (n, depth)
         direction = s['dir']
         origin = s['org']
         inv_dir = s['inv_dir']
         neg_origin_inv_dir = s['noid']
 
         # deepest level with pending children (predicated scan)
-        pending = masks != 0
+        pending = jnp.any(masks != 0, axis=2)        # (n, depth)
         active = jnp.any(pending, axis=1)
         lvl = jnp.max(jnp.where(pending, iota_d[None, :], -1), axis=1)
         onehot = iota_d[None, :] == lvl[:, None]
 
-        mask_l = jnp.sum(jnp.where(onehot, masks, 0), axis=1)
+        mask_l = jnp.sum(jnp.where(onehot[:, :, None], masks, 0),
+                         axis=1)                     # (n, NW)
         base_l = jnp.sum(jnp.where(onehot, bases, 0), axis=1)
 
         # near-to-far approximation: children are consecutive in local
@@ -82,14 +85,23 @@ def _walk_body(geom, depth):
         # high child indices first and vice versa — popping from the
         # matching end prunes far subtrees sooner (the reference's
         # stack walk has no ordering either, mesh.h:41; this is free)
-        low = mask_l & (~mask_l + jnp.uint32(1))    # lowest set bit
+        nzw = mask_l != 0                            # (n, NW)
+        first_w = nzw & (jnp.cumsum(nzw, axis=1) == 1)
+        last_w = nzw & (jnp.cumsum(nzw[:, ::-1], axis=1)[:, ::-1] == 1)
+        which_w = jnp.where(s['rev'][:, None], last_w, first_w)
+        word = jnp.sum(jnp.where(which_w, mask_l, 0), axis=1)
+        widx = jnp.sum(jnp.where(which_w, iota_w[None, :], 0), axis=1)
+
+        low = word & (~word + jnp.uint32(1))        # lowest set bit
         c_low = jax.lax.population_count(low - jnp.uint32(1))
-        nz = jnp.maximum(mask_l, jnp.uint32(1))
+        nz = jnp.maximum(word, jnp.uint32(1))
         c_high = jnp.uint32(31) - jax.lax.clz(nz)
-        c = jnp.where(s['rev'], c_high, c_low)
-        bit = jnp.uint32(1) << c
-        masks = jnp.where(onehot & active[:, None], masks ^ bit[:, None],
-                          masks)
+        c_in = jnp.where(s['rev'], c_high, c_low)
+        bit = jnp.uint32(1) << c_in
+        c = widx * jnp.uint32(32) + c_in
+        popsel = onehot[:, :, None] & which_w[:, None, :] \
+            & active[:, None, None]
+        masks = jnp.where(popsel, masks ^ bit[:, None, None], masks)
 
         ptr = jnp.where(active, base_l + c, 0)
         row = rows[ptr]                     # THE gather, (N, ROW_WIDTH)
@@ -198,17 +210,18 @@ def _walk_body(geom, depth):
         tmin = jnp.maximum(tmin, 0.0)
         b_ok = (tmin <= tmax) & (tmin <= min_dist[:, None]) \
             & (slots[None, :] < count[:, None])
+        bitw = (jnp.uint32(1)
+                << (slots[None, :] % 32).astype(jnp.uint32))
         hitmask = jnp.sum(
-            jnp.where(b_ok,
-                      jnp.uint32(1) << slots[None, :].astype(jnp.uint32),
-                      jnp.uint32(0)), axis=1).astype(jnp.uint32)
+            jnp.where(b_ok, bitw, jnp.uint32(0)).reshape(
+                -1, NMASK_WORDS, 32), axis=2).astype(jnp.uint32)
 
-        push = is_internal & (hitmask != 0) & (lvl + 1 < depth)
+        push = is_internal & jnp.any(hitmask != 0, axis=1) \
+            & (lvl + 1 < depth)
         onehot_child = iota_d[None, :] == (lvl + 1)[:, None]
-        masks = jnp.where(onehot_child & push[:, None], hitmask[:, None],
-                          masks)
-        bases = jnp.where(onehot_child & push[:, None],
-                          row[:, HDR_BASE][:, None], bases)
+        sel = onehot_child & push[:, None]
+        masks = jnp.where(sel[:, :, None], hitmask[:, None, :], masks)
+        bases = jnp.where(sel, row[:, HDR_BASE][:, None], bases)
 
         out = dict(s)
         out.update(masks=masks, bases=bases, best_tri=best_tri,
@@ -231,7 +244,7 @@ def _run_stage(state, body, budget, target=None):
     start = state['iters']
 
     def cond(s):
-        pending = jnp.any(s['masks'] != 0, axis=1)
+        pending = jnp.any(s['masks'] != 0, axis=(1, 2))
         more = jnp.any(pending)
         in_budget = (s['iters'] - start) < budget
         if target is None:
@@ -253,7 +266,7 @@ def _compact(state, m):
     -back.  Extra lanes (when fewer than m are pending) carry finished
     rays whose empty masks make them inert."""
     n = state['masks'].shape[0]
-    pending = jnp.any(state['masks'] != 0, axis=1)
+    pending = jnp.any(state['masks'] != 0, axis=(1, 2))
     cnt = jnp.cumsum(pending.astype(jnp.int32))
     total = cnt[-1]
     rank_n = jnp.cumsum((~pending).astype(jnp.int32)) - 1
@@ -302,7 +315,8 @@ def intersect_mesh(origin, direction, geom, last_hit_triangle=None,
     start = jnp.uint32(1) if active is None \
         else active.astype(jnp.uint32)
     state = dict(
-        masks=jnp.zeros((n, depth), jnp.uint32).at[:, 0].set(start),
+        masks=jnp.zeros((n, depth, NMASK_WORDS),
+                        jnp.uint32).at[:, 0, 0].set(start),
         bases=jnp.zeros((n, depth), jnp.uint32),
         best_tri=jnp.full(n, -1, jnp.int32),
         min_dist=jnp.full(n, jnp.inf, jnp.float32),
@@ -337,7 +351,7 @@ def intersect_mesh(origin, direction, geom, last_hit_triangle=None,
 
     # rays stopped by max_iters still have pending work: their partial
     # result must not be trusted (callers retry them)
-    incomplete = jnp.any(out['masks'] != 0, axis=1)
+    incomplete = jnp.any(out['masks'] != 0, axis=(1, 2))
     return dict(triangle=out['best_tri'], distance=out['min_dist'],
                 normal=out['best_norm'], material_code=out['best_mat'],
                 incomplete=incomplete)
