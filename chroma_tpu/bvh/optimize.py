@@ -8,8 +8,7 @@ node array (the ABI of chroma_tpu/bvh/bvh.py).
 """
 import numpy as np
 
-from chroma_tpu.bvh.bvh import BVH, unpack_nodes, node_areas, \
-    NCHILD_MASK, CHILD_BITS
+from chroma_tpu.bvh.bvh import BVH, unpack_nodes, node_areas
 
 
 def _pair_area_matrix(lo, hi, lo2, hi2):

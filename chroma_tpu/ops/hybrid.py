@@ -22,7 +22,6 @@ import jax.numpy as jnp
 
 from chroma_tpu import event
 from chroma_tpu.ops.propagate import propagate_step, make_photon_state
-from chroma_tpu.ops.photon import sort_photons
 
 # (wavelength nm, rgb weight) samples approximating the eye's response
 RGB_WAVELENGTHS = ((685.0, (1.0, 0.0, 0.0)),
