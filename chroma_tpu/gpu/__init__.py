@@ -199,10 +199,19 @@ class GPUPhotons(object):
             self.last_steps = None
             return None
         if not track:
-            self.state, steps = photon_ops.propagate_compacting(
+            import os
+            if os.environ.get('CHROMA_TPU_DRIVER') == 'compacting':
+                # previous host-driven round loop, kept for comparison
+                self.state, steps = photon_ops.propagate_compacting(
+                    self.state, geom, key, max_steps=max_steps,
+                    use_weights=use_weights, scatter_first=scatter_first)
+                self.last_steps = int(steps)
+                return None
+            from chroma_tpu.ops.fused import propagate_fused
+            self.state, srv = propagate_fused(
                 self.state, geom, key, max_steps=max_steps,
                 use_weights=use_weights, scatter_first=scatter_first)
-            self.last_steps = int(steps)
+            self.last_steps = None
             return None
         # tracking mode: one step per host iteration, snapshot each
         from chroma_tpu.ops.propagate import propagate_step

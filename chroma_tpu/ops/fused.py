@@ -1,0 +1,249 @@
+"""Fused propagation: traversal iterations + physics in ONE device loop.
+
+The round-2 profile (ARCHITECTURE.md) shows the engine's currency is
+MBVH row gathers, every loop iteration costs the full lane width, and
+host round-trips cost ~26 ms each on this tunneled platform.  The
+compacting driver (ops/photon.py propagate_compacting) already shrinks
+the working width as photons die, but it still pays
+
+  * one host sync + repartition per round,
+  * a full traversal-cascade tail per step (lanes that found their hit
+    idle while stragglers walk), and
+  * per-iteration fixed costs on narrow trickle stages.
+
+This module removes all three by running a *megakernel* analog: every
+lane owns one in-flight photon; each loop iteration advances every
+lane's BVH walk by one row; every ``SERVICE_EVERY`` iterations a
+predicated physics pass (ops/propagate.physics_update) advances the
+lanes whose traversal completed, retires terminated photons to the
+result pool, and refills their lanes with waiting photons.  No lane
+ever idles while work remains — the lock-step tail only appears when
+the pool runs dry, and a two-stage lane-compaction cascade (same trick
+as ops/mbvh.py) shrinks the width for that drain.
+
+The reference equivalent is the persistent-thread propagate kernel +
+double-buffered queues (chroma/cuda/propagate.cu:217,
+chroma/gpu/photon.py:192) — re-engineered for a vector machine.
+
+RNG note: draws are consumed per *service pass*, not per photon step,
+so sequences differ from ops/photon.propagate — all physics tests are
+statistical, and both drivers sample the same distributions.
+"""
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from chroma_tpu import event
+from chroma_tpu.ops import mbvh
+from chroma_tpu.ops.mbvh import NMASK_WORDS
+from chroma_tpu.ops.propagate import physics_update, NDRAWS
+
+SERVICE_EVERY = 8       # walker iterations between physics passes
+DRAIN_SHRINK = (8, 64)  # lane-compaction cascade for the pool-dry tail
+
+_PHOTON_KEYS = ('pos', 'dir', 'pol', 'wavelength', 't', 'weight',
+                'flags', 'last_hit_triangle', 'evidx', 'index')
+_WALK_RESET = ('best_tri', 'min_dist', 'best_norm', 'best_mat')
+
+
+def _reseed(lane, need):
+    """Restart the BVH walk (root pending) for lanes in ``need``;
+    refresh the ray-derived walker fields from the photon state."""
+    masks = jnp.where(need[:, None, None], 0, lane['masks'])
+    masks = masks.at[:, 0, 0].set(
+        jnp.where(need, jnp.uint32(1), masks[:, 0, 0]))
+    inv_dir = 1.0 / lane['dir']
+    out = dict(lane)
+    out.update(
+        org=jnp.where(need[:, None], lane['pos'], lane['org']),
+        masks=masks,
+        bases=jnp.where(need[:, None], 0, lane['bases']),
+        best_tri=jnp.where(need, -1, lane['best_tri']),
+        min_dist=jnp.where(need, jnp.inf, lane['min_dist']),
+        best_norm=jnp.where(need[:, None], 0.0, lane['best_norm']),
+        best_mat=jnp.where(need, jnp.uint32(0), lane['best_mat']),
+        inv_dir=jnp.where(need[:, None], inv_dir, lane['inv_dir']),
+        noid=jnp.where(need[:, None], -lane['pos'] * inv_dir,
+                       lane['noid']),
+        rev=jnp.where(need, jnp.sum(lane['dir'], axis=1) < 0.0,
+                      lane['rev']),
+        lht=jnp.where(need, lane['last_hit_triangle'], lane['lht']),
+    )
+    return out
+
+
+def _service(lane, pool, next_ptr, key, geom, max_steps, scatter_first,
+             use_weights):
+    """Physics + retire + refill pass over all lanes (predicated)."""
+    w = lane['pos'].shape[0]
+    n_pool = pool['pos'].shape[0]
+    key, sk = jax.random.split(key)
+    u = jax.random.uniform(sk, (w, NDRAWS), dtype=jnp.float32)
+
+    holding = lane['holding']
+    alive = (lane['flags'] & jnp.uint32(event.TERMINAL_FLAGS)) == 0
+    trav_done = ~jnp.any(lane['masks'] != 0, axis=(1, 2))
+
+    # NaN guard (reference: chroma/cuda/propagate.cu:262).  NaN lanes
+    # were never reseeded, so they are trav_done with an empty result.
+    bad = jnp.isnan(jnp.sum(lane['dir'], axis=1)
+                    + jnp.sum(lane['pos'], axis=1))
+    ready = holding & alive & trav_done & (lane['step'] < max_steps)
+    nan_mask = ready & bad
+    flags = jnp.where(nan_mask,
+                      lane['flags']
+                      | jnp.uint32(event.NO_HIT | event.NAN_ABORT),
+                      lane['flags'])
+    active = ready & ~bad
+
+    res = dict(triangle=lane['best_tri'], distance=lane['min_dist'],
+               normal=lane['best_norm'], material_code=lane['best_mat'],
+               incomplete=jnp.zeros(w, bool))
+    sf = jnp.where(lane['step'] == 0, scatter_first, 0)
+    pstate = {k: lane[k] for k in _PHOTON_KEYS}
+    new_state = physics_update(pstate, res, geom, u, flags, active,
+                               nan_mask, sf, use_weights=use_weights)
+    lane = dict(lane, **new_state)
+    lane['step'] = lane['step'] + ready.astype(jnp.int32)
+
+    # ---- retire: write finished (or out-of-steps) photons back ------
+    alive2 = (lane['flags'] & jnp.uint32(event.TERMINAL_FLAGS)) == 0
+    finished = holding & trav_done & (~alive2
+                                      | (lane['step'] >= max_steps))
+    out_idx = jnp.where(finished, lane['index'].astype(jnp.int32), n_pool)
+    for k in _PHOTON_KEYS:
+        pool[k] = pool[k].at[out_idx].set(lane[k], mode='drop')
+
+    # ---- refill from the pool ----------------------------------------
+    rank = jnp.cumsum(finished.astype(jnp.int32)) - 1
+    grab = next_ptr + rank
+    have = finished & (grab < n_pool)
+    src = jnp.clip(grab, 0, n_pool - 1)
+    for k in _PHOTON_KEYS:
+        fresh = pool[k][src]
+        lane[k] = jnp.where(have if lane[k].ndim == 1 else have[:, None],
+                            fresh, lane[k])
+    lane['step'] = jnp.where(have, 0, lane['step'])
+    lane['holding'] = (holding & ~finished) | have
+    next_ptr = next_ptr + jnp.sum(finished.astype(jnp.int32))
+
+    # ---- reseed traversal for lanes starting their next step ---------
+    alive3 = (lane['flags'] & jnp.uint32(event.TERMINAL_FLAGS)) == 0
+    ok = ~jnp.isnan(jnp.sum(lane['dir'], axis=1)
+                    + jnp.sum(lane['pos'], axis=1))
+    need = lane['holding'] & alive3 & ok & trav_done \
+        & (lane['step'] < max_steps)
+    lane = _reseed(lane, need)
+    return lane, pool, next_ptr, key
+
+
+def _compact_lanes(lane, m):
+    """Stable-partition holding lanes to the front; keep the first m."""
+    n = lane['holding'].shape[0]
+    holding = lane['holding']
+    cnt = jnp.cumsum(holding.astype(jnp.int32))
+    rank_dead = jnp.cumsum((~holding).astype(jnp.int32)) - 1
+    dest = jnp.where(holding, cnt - 1, cnt[-1] + rank_dead)
+    src = jnp.zeros(n, jnp.int32).at[dest].set(
+        jnp.arange(n, dtype=jnp.int32))
+    idx = src[:m]
+    return {k: (v if v.ndim == 0 else v[idx]) for k, v in lane.items()}
+
+
+@partial(jax.jit, static_argnames=('max_steps', 'use_weights', 'width',
+                                   'service_every'))
+def propagate_fused(state, geom, key, max_steps=100, use_weights=False,
+                    scatter_first=0, width=None,
+                    service_every=SERVICE_EVERY):
+    """Propagate all photons in ``state`` to termination, fused.
+
+    Returns (final_state, n_services).  Output order == input order
+    (results scatter back to each photon's original slot).
+    """
+    n = state['pos'].shape[0]
+    w = width or min(n, 1 << 17)
+    w = min(w, n)
+    depth = min(geom.mbvh_depth + 1, mbvh.MAX_LEVELS)
+
+    pool = dict(state)
+    lane = {k: v[:w] for k, v in state.items()}
+    lane.update(
+        holding=jnp.ones(w, bool),
+        step=jnp.zeros(w, jnp.int32),
+        masks=jnp.zeros((w, depth, NMASK_WORDS), jnp.uint32),
+        bases=jnp.zeros((w, depth), jnp.uint32),
+        best_tri=jnp.full(w, -1, jnp.int32),
+        min_dist=jnp.full(w, jnp.inf, jnp.float32),
+        best_norm=jnp.zeros((w, 3), jnp.float32),
+        best_mat=jnp.zeros(w, jnp.uint32),
+        inv_dir=jnp.zeros((w, 3), jnp.float32),
+        noid=jnp.zeros((w, 3), jnp.float32),
+        rev=jnp.zeros(w, bool),
+        lht=lane['last_hit_triangle'],
+        org=lane['pos'],
+        iters=jnp.zeros((), jnp.int32),
+        nactive=jnp.zeros((), jnp.int32),
+    )
+    alive = (lane['flags'] & jnp.uint32(event.TERMINAL_FLAGS)) == 0
+    ok = ~jnp.isnan(jnp.sum(lane['dir'], axis=1)
+                    + jnp.sum(lane['pos'], axis=1))
+    lane = _reseed(lane, alive & ok)
+
+    # stats: [services, photon_steps, lane_iters, pending_lane_iters]
+    stats = jnp.zeros(4, jnp.int32)
+
+    def make_body(body_walk):
+        def body(carry):
+            lane, pool, next_ptr, key, stats = carry
+            s = lane
+            for _ in range(service_every):
+                s = body_walk(s)
+            lane = s
+            holding = lane['holding']
+            pending = jnp.any(lane['masks'] != 0, axis=(1, 2))
+            ready = holding & ~pending
+            stats = stats + jnp.stack(
+                [jnp.asarray(1, jnp.int32),
+                 jnp.sum(ready).astype(jnp.int32),
+                 jnp.sum(holding).astype(jnp.int32) * service_every,
+                 jnp.asarray(0, jnp.int32)])
+            lane, pool, next_ptr, key = _service(
+                lane, pool, next_ptr, key, geom, max_steps,
+                scatter_first, use_weights)
+            return lane, pool, next_ptr, key, stats
+        return body
+
+    def run_stage(lane, pool, next_ptr, key, stats, target):
+        """Run until all lanes drain (or, with a target, until the
+        pool is dry and few enough lanes remain to compact)."""
+        body_walk = mbvh._walk_body(geom, depth)
+
+        def cond(carry):
+            lane, pool, next_ptr, kk, stats = carry
+            more = jnp.any(lane['holding'])
+            if target is None:
+                return more
+            nhold = jnp.sum(lane['holding'].astype(jnp.int32))
+            return more & ((next_ptr < n) | (nhold > target))
+
+        return jax.lax.while_loop(
+            cond, make_body(body_walk),
+            (lane, pool, next_ptr, key, stats))
+
+    next_ptr = jnp.asarray(w, jnp.int32)
+    if w > 4096 and len(DRAIN_SHRINK):
+        m1 = max(w // DRAIN_SHRINK[0], 1024)
+        m2 = max(w // DRAIN_SHRINK[1], 256)
+        lane, pool, next_ptr, key, stats = run_stage(
+            lane, pool, next_ptr, key, stats, m1)
+        lane = _compact_lanes(lane, m1)
+        lane, pool, next_ptr, key, stats = run_stage(
+            lane, pool, next_ptr, key, stats, m2)
+        lane = _compact_lanes(lane, m2)
+    lane, pool, next_ptr, key, stats = run_stage(
+        lane, pool, next_ptr, key, stats, None)
+
+    stats = stats.at[3].set(lane['nactive'])
+    return {k: pool[k] for k in _PHOTON_KEYS}, stats

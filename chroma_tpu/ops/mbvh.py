@@ -227,6 +227,9 @@ def _walk_body(geom, depth):
         out.update(masks=masks, bases=bases, best_tri=best_tri,
                    min_dist=min_dist, best_norm=best_norm,
                    best_mat=best_mat, iters=s['iters'] + 1)
+        if 'nactive' in s:      # profiling accumulator (ops/fused.py)
+            out['nactive'] = s['nactive'] \
+                + jnp.sum(active.astype(jnp.int32)).astype(jnp.int32)
         return out
 
     return body

@@ -261,6 +261,24 @@ def propagate_step(state, geom, key, scatter_first, use_weights=False):
     # ---- fill_state: closest hit + material decode -------------------
     res = mbvh.intersect_mesh(state['pos'], state['dir'], geom,
                               state['last_hit_triangle'], active=active)
+    return physics_update(state, res, geom, u, flags, active,
+                          alive0 & bad, scatter_first,
+                          use_weights=use_weights)
+
+
+def physics_update(state, res, geom, u, flags, active, nan_mask,
+                   scatter_first, use_weights=False):
+    """The physics half of a step: consume a traversal result ``res``
+    (triangle/distance/normal/material_code/incomplete) and return the
+    advanced photon state.  Split out of propagate_step so the fused
+    walker driver (ops/fused.py) can interleave traversal iterations
+    and physics at its own cadence.
+
+    ``scatter_first`` may be a scalar or a per-photon (n,) array (the
+    fused engine passes per-lane values, since lanes sit at different
+    step counts).  Reference physics: chroma/cuda/photon.h.
+    """
+    n = state['pos'].shape[0]
     alive = active & ~res['incomplete']
     tri = res['triangle']
     d_bound = res['distance']
@@ -604,7 +622,7 @@ def propagate_step(state, geom, key, scatter_first, use_weights=False):
             mask = mask[..., None]
         return jnp.where(mask, new, old)
 
-    flag_mask = alive | (alive0 & bad)
+    flag_mask = alive | nan_mask
     return dict(
         pos=keep(state['pos'], pos),
         dir=keep(state['dir'], dirv),
