@@ -37,7 +37,7 @@ if gg is None:
         geo = create_geometry_from_obj(demo.tiny)
     gg = gpu.GPUDetector(geo)
     gg.save_table_cache(which)
-nphotons = int(os.environ.get('BENCH_NPHOTONS', 1 << 18))
+nphotons = int(os.environ.get('BENCH_NPHOTONS', 1 << 20))
 rates = propagate(gg, number=3, nphotons=nphotons, max_steps=100)
 print('RESULT ' + json.dumps({'value': float(np.mean(rates[1:]))}))
 """
@@ -60,9 +60,9 @@ def _try(detector, nphotons, timeout):
 
 
 def main():
-    attempts = [('full', 1 << 18, 3000, 'full demo'
+    attempts = [('full', 1 << 20, 3000, 'full demo'
                  ' (10,055 PMTs, 42M triangles)'),
-                ('tiny', 1 << 18, 2400, 'tiny demo (300k triangles)')]
+                ('tiny', 1 << 20, 2400, 'tiny demo (300k triangles)')]
     if os.environ.get('BENCH_SKIP_FULL'):
         attempts = attempts[1:]
     for detector, nphotons, timeout, label in attempts:

@@ -23,9 +23,14 @@ import numpy as np
 
 from chroma_tpu.bvh.build import create_leaf_nodes, _intra_run
 
-BRANCH = 128                   # children per block / triangles per cluster
+import os
+
+BRANCH = int(os.environ.get('CHROMA_TPU_BRANCH', 128))
+                               # children per block / triangles per cluster
 NMASK_WORDS = BRANCH // 32     # u32 words per pending-children bitmask
-TARGET_DEGREE = 96             # Morton coarsening mean fan-out target
+TARGET_DEGREE = int(os.environ.get('CHROMA_TPU_TARGET_DEGREE',
+                                   BRANCH * 3 // 4))
+                               # Morton coarsening mean fan-out target
 
 # row layout (u32 words).  Cluster triangle vertices are quantized to
 # u16 on a per-cluster local grid (origin + per-axis scale).  BRANCH

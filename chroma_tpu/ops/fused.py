@@ -40,7 +40,9 @@ from chroma_tpu.ops import mbvh
 from chroma_tpu.ops.mbvh import NMASK_WORDS
 from chroma_tpu.ops.propagate import physics_update, NDRAWS
 
-SERVICE_EVERY = 8       # walker iterations between physics passes
+SERVICE_EVERY = 6       # walker iterations between physics passes
+DEFAULT_WIDTH = 8192    # lane width (tools/tune_fused*: narrow wins
+                        # because service cost scales with width)
 DRAIN_SHRINK = (8, 64)  # lane-compaction cascade for the pool-dry tail
 
 _PHOTON_KEYS = ('pos', 'dir', 'pol', 'wavelength', 't', 'weight',
@@ -48,27 +50,52 @@ _PHOTON_KEYS = ('pos', 'dir', 'pol', 'wavelength', 't', 'weight',
 _WALK_RESET = ('best_tri', 'min_dist', 'best_norm', 'best_mat')
 
 
-def _reseed(lane, need):
-    """Restart the BVH walk (root pending) for lanes in ``need``;
-    refresh the ray-derived walker fields from the photon state."""
-    masks = jnp.where(need[:, None, None], 0, lane['masks'])
-    masks = masks.at[:, 0, 0].set(
-        jnp.where(need, jnp.uint32(1), masks[:, 0, 0]))
+def _pack(state):
+    """Photon SoA -> (n, 16) f32 rows (int fields bitcast), so pool
+    writeback + refill are ONE scatter + ONE gather instead of ten of
+    each.  Word layout: pos[3] dir[3] pol[3] wavelength t weight
+    flags lht evidx index."""
+    f32 = lambda v: jax.lax.bitcast_convert_type(v, jnp.float32)
+    return jnp.concatenate([
+        state['pos'], state['dir'], state['pol'],
+        state['wavelength'][:, None], state['t'][:, None],
+        state['weight'][:, None], f32(state['flags'])[:, None],
+        f32(state['last_hit_triangle'])[:, None],
+        f32(state['evidx'].astype(jnp.uint32))[:, None],
+        f32(state['index'].astype(jnp.uint32))[:, None]], axis=1)
+
+
+def _unpack(arr):
+    u32 = lambda v: jax.lax.bitcast_convert_type(v, jnp.uint32)
+    i32 = lambda v: jax.lax.bitcast_convert_type(v, jnp.int32)
+    return dict(pos=arr[:, 0:3], dir=arr[:, 3:6], pol=arr[:, 6:9],
+                wavelength=arr[:, 9], t=arr[:, 10], weight=arr[:, 11],
+                flags=u32(arr[:, 12]), last_hit_triangle=i32(arr[:, 13]),
+                evidx=u32(arr[:, 14]), index=u32(arr[:, 15]))
+
+
+def _reseed(lane, need, geom):
+    """Restart the BVH walk for lanes in ``need`` (root children
+    slab-tested inline — mbvh.root_seed — so the walk starts at level
+    1); refresh the ray-derived walker fields from the photon state."""
+    depth = lane['masks'].shape[1]
     inv_dir = 1.0 / lane['dir']
+    noid = -lane['pos'] * inv_dir
+    smasks, sbases, stcodes = mbvh.root_seed(geom, depth, inv_dir, noid,
+                                             need)
+    masks = jnp.where(need[:, None, None], smasks, lane['masks'])
     out = dict(lane)
     out.update(
         org=jnp.where(need[:, None], lane['pos'], lane['org']),
         masks=masks,
-        bases=jnp.where(need[:, None], 0, lane['bases']),
+        bases=jnp.where(need[:, None], sbases, lane['bases']),
+        tcodes=jnp.where(need[:, None, None], stcodes, lane['tcodes']),
         best_tri=jnp.where(need, -1, lane['best_tri']),
         min_dist=jnp.where(need, jnp.inf, lane['min_dist']),
         best_norm=jnp.where(need[:, None], 0.0, lane['best_norm']),
         best_mat=jnp.where(need, jnp.uint32(0), lane['best_mat']),
         inv_dir=jnp.where(need[:, None], inv_dir, lane['inv_dir']),
-        noid=jnp.where(need[:, None], -lane['pos'] * inv_dir,
-                       lane['noid']),
-        rev=jnp.where(need, jnp.sum(lane['dir'], axis=1) < 0.0,
-                      lane['rev']),
+        noid=jnp.where(need[:, None], noid, lane['noid']),
         lht=jnp.where(need, lane['last_hit_triangle'], lane['lht']),
     )
     return out
@@ -76,9 +103,10 @@ def _reseed(lane, need):
 
 def _service(lane, pool, next_ptr, key, geom, max_steps, scatter_first,
              use_weights):
-    """Physics + retire + refill pass over all lanes (predicated)."""
+    """Physics + retire + refill pass over all lanes (predicated).
+    ``pool`` is the packed (n, 16) photon pool (see _pack)."""
     w = lane['pos'].shape[0]
-    n_pool = pool['pos'].shape[0]
+    n_pool = pool.shape[0]
     key, sk = jax.random.split(key)
     u = jax.random.uniform(sk, (w, NDRAWS), dtype=jnp.float32)
 
@@ -113,18 +141,17 @@ def _service(lane, pool, next_ptr, key, geom, max_steps, scatter_first,
     finished = holding & trav_done & (~alive2
                                       | (lane['step'] >= max_steps))
     out_idx = jnp.where(finished, lane['index'].astype(jnp.int32), n_pool)
-    for k in _PHOTON_KEYS:
-        pool[k] = pool[k].at[out_idx].set(lane[k], mode='drop')
+    packed = _pack(lane)
+    pool = pool.at[out_idx].set(packed, mode='drop')
 
     # ---- refill from the pool ----------------------------------------
     rank = jnp.cumsum(finished.astype(jnp.int32)) - 1
     grab = next_ptr + rank
     have = finished & (grab < n_pool)
     src = jnp.clip(grab, 0, n_pool - 1)
+    fresh = _unpack(jnp.where(have[:, None], pool[src], packed))
     for k in _PHOTON_KEYS:
-        fresh = pool[k][src]
-        lane[k] = jnp.where(have if lane[k].ndim == 1 else have[:, None],
-                            fresh, lane[k])
+        lane[k] = fresh[k]
     lane['step'] = jnp.where(have, 0, lane['step'])
     lane['holding'] = (holding & ~finished) | have
     next_ptr = next_ptr + jnp.sum(finished.astype(jnp.int32))
@@ -135,7 +162,7 @@ def _service(lane, pool, next_ptr, key, geom, max_steps, scatter_first,
                     + jnp.sum(lane['pos'], axis=1))
     need = lane['holding'] & alive3 & ok & trav_done \
         & (lane['step'] < max_steps)
-    lane = _reseed(lane, need)
+    lane = _reseed(lane, need, geom)
     return lane, pool, next_ptr, key
 
 
@@ -163,24 +190,24 @@ def propagate_fused(state, geom, key, max_steps=100, use_weights=False,
     (results scatter back to each photon's original slot).
     """
     n = state['pos'].shape[0]
-    w = width or min(n, 1 << 17)
+    w = width or min(n, DEFAULT_WIDTH)
     w = min(w, n)
     depth = min(geom.mbvh_depth + 1, mbvh.MAX_LEVELS)
 
-    pool = dict(state)
+    pool = _pack(state)
     lane = {k: v[:w] for k, v in state.items()}
     lane.update(
         holding=jnp.ones(w, bool),
         step=jnp.zeros(w, jnp.int32),
         masks=jnp.zeros((w, depth, NMASK_WORDS), jnp.uint32),
         bases=jnp.zeros((w, depth), jnp.uint32),
+        tcodes=jnp.full((w, depth, mbvh.BRANCH), 255, jnp.uint8),
         best_tri=jnp.full(w, -1, jnp.int32),
         min_dist=jnp.full(w, jnp.inf, jnp.float32),
         best_norm=jnp.zeros((w, 3), jnp.float32),
         best_mat=jnp.zeros(w, jnp.uint32),
         inv_dir=jnp.zeros((w, 3), jnp.float32),
         noid=jnp.zeros((w, 3), jnp.float32),
-        rev=jnp.zeros(w, bool),
         lht=lane['last_hit_triangle'],
         org=lane['pos'],
         iters=jnp.zeros((), jnp.int32),
@@ -189,7 +216,7 @@ def propagate_fused(state, geom, key, max_steps=100, use_weights=False,
     alive = (lane['flags'] & jnp.uint32(event.TERMINAL_FLAGS)) == 0
     ok = ~jnp.isnan(jnp.sum(lane['dir'], axis=1)
                     + jnp.sum(lane['pos'], axis=1))
-    lane = _reseed(lane, alive & ok)
+    lane = _reseed(lane, alive & ok, geom)
 
     # stats: [services, photon_steps, lane_iters, pending_lane_iters]
     stats = jnp.zeros(4, jnp.int32)
@@ -246,4 +273,4 @@ def propagate_fused(state, geom, key, max_steps=100, use_weights=False,
         lane, pool, next_ptr, key, stats, None)
 
     stats = stats.at[3].set(lane['nactive'])
-    return {k: pool[k] for k in _PHOTON_KEYS}, stats
+    return _unpack(pool), stats

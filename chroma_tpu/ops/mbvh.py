@@ -55,20 +55,47 @@ CASCADE_SHRINK_2 = 64
 CASCADE_MIN_N = 2048          # below this, one plain loop is cheaper
 
 
+def tquant_scale(geom):
+    """Entry-distance quantization: 255 / world-box diagonal."""
+    return 255.0 / (geom.world_scale * 65535.0 * 1.7320509)
+
+
 def _walk_body(geom, depth):
-    """The per-iteration walker body over a traversal state dict."""
+    """The per-iteration walker body over a traversal state dict.
+
+    Ordered + self-pruning (round 2): every pushed child carries an
+    8-bit quantized entry distance (``tcodes``).  Each iteration (a)
+    lazily kills pending children whose entry distance now exceeds the
+    best hit — siblings pushed before the hit was found would
+    otherwise still be visited — and (b) pops the true nearest pending
+    child of the deepest level instead of a Morton-end heuristic, so
+    the first cluster visited almost always contains the closest hit.
+    The quantization is conservative (floor on store, +1 on the prune
+    threshold), so results stay exact."""
     rows = geom.mbvh_rows
     iota_d = jnp.arange(depth, dtype=jnp.int32)
     slots = jnp.arange(BRANCH, dtype=jnp.int32)
-
-    iota_w = jnp.arange(NMASK_WORDS, dtype=jnp.uint32)
+    iota32 = jnp.arange(32, dtype=jnp.uint32)
+    sq = tquant_scale(geom)
 
     def body(s):
         masks, bases = s['masks'], s['bases']   # (n, depth, NW), (n, depth)
+        tcodes = s['tcodes']                    # (n, depth, BRANCH) u8
         direction = s['dir']
         origin = s['org']
         inv_dir = s['inv_dir']
         neg_origin_inv_dir = s['noid']
+        min_dist = s['min_dist']
+
+        # lazy prune: a pending child whose quantized entry distance
+        # exceeds the current best hit can never improve it
+        mdc = jnp.clip(jnp.floor(min_dist * sq) + 1.0, 0.0, 255.0)
+        keep = tcodes <= mdc[:, None, None].astype(jnp.uint8)
+        keep_bits = jnp.sum(
+            jnp.where(keep.reshape(keep.shape[0], depth, NMASK_WORDS, 32),
+                      jnp.uint32(1) << iota32[None, None, None, :],
+                      jnp.uint32(0)), axis=3)
+        masks = masks & keep_bits
 
         # deepest level with pending children (predicated scan)
         pending = jnp.any(masks != 0, axis=2)        # (n, depth)
@@ -79,29 +106,24 @@ def _walk_body(geom, depth):
         mask_l = jnp.sum(jnp.where(onehot[:, :, None], masks, 0),
                          axis=1)                     # (n, NW)
         base_l = jnp.sum(jnp.where(onehot, bases, 0), axis=1)
+        tc_l = jnp.sum(jnp.where(onehot[:, :, None], tcodes, 0),
+                       axis=1).astype(jnp.int32)     # (n, BRANCH)
 
-        # near-to-far approximation: children are consecutive in local
-        # Morton order, so rays heading toward low coordinates visit
-        # high child indices first and vice versa — popping from the
-        # matching end prunes far subtrees sooner (the reference's
-        # stack walk has no ordering either, mesh.h:41; this is free)
-        nzw = mask_l != 0                            # (n, NW)
-        first_w = nzw & (jnp.cumsum(nzw, axis=1) == 1)
-        last_w = nzw & (jnp.cumsum(nzw[:, ::-1], axis=1)[:, ::-1] == 1)
-        which_w = jnp.where(s['rev'][:, None], last_w, first_w)
-        word = jnp.sum(jnp.where(which_w, mask_l, 0), axis=1)
-        widx = jnp.sum(jnp.where(which_w, iota_w[None, :], 0), axis=1)
-
-        low = word & (~word + jnp.uint32(1))        # lowest set bit
-        c_low = jax.lax.population_count(low - jnp.uint32(1))
-        nz = jnp.maximum(word, jnp.uint32(1))
-        c_high = jnp.uint32(31) - jax.lax.clz(nz)
-        c_in = jnp.where(s['rev'], c_high, c_low)
-        bit = jnp.uint32(1) << c_in
-        c = widx * jnp.uint32(32) + c_in
-        popsel = onehot[:, :, None] & which_w[:, None, :] \
-            & active[:, None, None]
-        masks = jnp.where(popsel, masks ^ bit[:, None, None], masks)
+        # pop the nearest pending child of the level
+        bit_set = ((mask_l[:, :, None] >> iota32[None, None, :])
+                   & jnp.uint32(1)).reshape(-1, BRANCH) != 0
+        tl = jnp.where(bit_set, tc_l, 300)
+        tl_min = jnp.min(tl, axis=1)
+        is_min = tl == tl_min[:, None]
+        oh_slot_pop = is_min & (jnp.cumsum(is_min, axis=1) == 1)
+        c = jnp.sum(jnp.where(oh_slot_pop, slots[None, :], 0),
+                    axis=1).astype(jnp.uint32)
+        bitw128 = jnp.uint32(1) << (slots[None, :] % 32).astype(jnp.uint32)
+        pat = jnp.sum(
+            jnp.where(oh_slot_pop, bitw128, jnp.uint32(0)).reshape(
+                -1, NMASK_WORDS, 32), axis=2)
+        masks = jnp.where(onehot[:, :, None] & active[:, None, None],
+                          masks ^ pat[:, None, :], masks)
 
         ptr = jnp.where(active, base_l + c, 0)
         row = rows[ptr]                     # THE gather, (N, ROW_WIDTH)
@@ -222,9 +244,14 @@ def _walk_body(geom, depth):
         sel = onehot_child & push[:, None]
         masks = jnp.where(sel[:, :, None], hitmask[:, None, :], masks)
         bases = jnp.where(sel, row[:, HDR_BASE][:, None], bases)
+        newcodes = jnp.where(
+            b_ok, jnp.clip(jnp.floor(tmin * sq), 0.0, 255.0),
+            255.0).astype(jnp.uint8)
+        tcodes = jnp.where(sel[:, :, None], newcodes[:, None, :], tcodes)
 
         out = dict(s)
-        out.update(masks=masks, bases=bases, best_tri=best_tri,
+        out.update(masks=masks, bases=bases, tcodes=tcodes,
+                   best_tri=best_tri,
                    min_dist=min_dist, best_norm=best_norm,
                    best_mat=best_mat, iters=s['iters'] + 1)
         if 'nactive' in s:      # profiling accumulator (ops/fused.py)
@@ -233,6 +260,58 @@ def _walk_body(geom, depth):
         return out
 
     return body
+
+
+def root_seed(geom, depth, inv_dir, noid, active):
+    """Seed (masks, bases) with the ROOT row's child slab-test done
+    inline.  The root row is identical for every lane, so testing its
+    BRANCH child boxes is pure VPU work on a broadcast constant — it
+    saves one row gather AND one full-width walker iteration per
+    traversal (every photon step pays the root visit otherwise).
+
+    Falls back to classic level-0 seeding when the root is a cluster
+    row (meshes with <= BRANCH triangles, geom.mbvh_depth == 1)."""
+    n = inv_dir.shape[0]
+    masks = jnp.zeros((n, depth, NMASK_WORDS), jnp.uint32)
+    bases = jnp.zeros((n, depth), jnp.uint32)
+    tcodes = jnp.full((n, depth, BRANCH), 255, jnp.uint8)
+    if geom.mbvh_depth < 2 or depth < 2:
+        return (masks.at[:, 0, 0].set(active.astype(jnp.uint32)),
+                bases, tcodes.at[:, 0, 0].set(0))
+
+    root = geom.mbvh_rows[0]                    # static slice, no gather
+    slots = jnp.arange(BRANCH, dtype=jnp.int32)
+    ws = geom.world_scale
+    tmin = None
+    tmax = None
+    for k in range(3):
+        pk = root[BOX_OFF + k:BOX_OFF + 3 * BRANCH:3][None, :]
+        lok = geom.world_origin[k] \
+            + (pk & jnp.uint32(0xFFFF)).astype(jnp.float32) * ws
+        hik = geom.world_origin[k] \
+            + (pk >> jnp.uint32(16)).astype(jnp.float32) * ws
+        t0 = lok * inv_dir[:, k:k + 1] + noid[:, k:k + 1]
+        t1 = hik * inv_dir[:, k:k + 1] + noid[:, k:k + 1]
+        finite = jnp.isfinite(inv_dir[:, k:k + 1])
+        small = jnp.where(finite, jnp.minimum(t0, t1), -jnp.inf)
+        big = jnp.where(finite, jnp.maximum(t0, t1), jnp.inf)
+        tmin = small if tmin is None else jnp.maximum(tmin, small)
+        tmax = big if tmax is None else jnp.minimum(tmax, big)
+    tmin = jnp.maximum(tmin, 0.0)
+    count = (root[HDR_KIND] >> jnp.uint32(8)).astype(jnp.int32)
+    b_ok = (tmin <= tmax) & (slots[None, :] < count) \
+        & active[:, None]
+    bitw = jnp.uint32(1) << (slots[None, :] % 32).astype(jnp.uint32)
+    hitmask = jnp.sum(
+        jnp.where(b_ok, bitw, jnp.uint32(0)).reshape(
+            n, NMASK_WORDS, 32), axis=2).astype(jnp.uint32)
+    masks = masks.at[:, 1, :].set(hitmask)
+    bases = bases.at[:, 1].set(root[HDR_BASE])
+    sq = tquant_scale(geom)
+    codes = jnp.where(b_ok, jnp.clip(jnp.floor(tmin * sq), 0.0, 255.0),
+                      255.0).astype(jnp.uint8)
+    tcodes = tcodes.at[:, 1, :].set(codes)
+    return masks, bases, tcodes
 
 
 UNROLL = 4          # walker bodies per loop boundary: the ~126 us
@@ -315,22 +394,24 @@ def intersect_mesh(origin, direction, geom, last_hit_triangle=None,
 
     depth = min(geom.mbvh_depth + 1, MAX_LEVELS)
 
-    start = jnp.uint32(1) if active is None \
-        else active.astype(jnp.uint32)
+    if active is None:
+        active = jnp.ones(n, bool)
+    inv_dir = 1.0 / direction
+    noid = -origin * inv_dir
+    masks, bases, tcodes = root_seed(geom, depth, inv_dir, noid, active)
     state = dict(
-        masks=jnp.zeros((n, depth, NMASK_WORDS),
-                        jnp.uint32).at[:, 0, 0].set(start),
-        bases=jnp.zeros((n, depth), jnp.uint32),
+        masks=masks,
+        bases=bases,
+        tcodes=tcodes,
         best_tri=jnp.full(n, -1, jnp.int32),
         min_dist=jnp.full(n, jnp.inf, jnp.float32),
         best_norm=jnp.zeros((n, 3), jnp.float32),
         best_mat=jnp.zeros(n, jnp.uint32),
         org=origin,
         dir=direction,
-        inv_dir=1.0 / direction,
-        noid=-origin * (1.0 / direction),
+        inv_dir=inv_dir,
+        noid=noid,
         lht=last_hit_triangle,
-        rev=jnp.sum(direction, axis=1) < 0.0,
         iters=jnp.zeros((), jnp.int32),
     )
     body = _walk_body(geom, depth)

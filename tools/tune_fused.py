@@ -34,8 +34,8 @@ def main():
     state = gp.state
     key = jax.random.PRNGKey(1)
 
-    for width in (n // 8, n // 4, n // 2):
-        for se in (3, 6, 10):
+    for width in (n // 16, n // 8, n // 4):
+        for se in (4, 6, 10):
             f = lambda: propagate_fused(state, geom, key, max_steps=100,
                                         width=width, service_every=se)
             t0 = time.time()
