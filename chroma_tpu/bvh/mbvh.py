@@ -12,9 +12,11 @@ width:
     (vertices, triangle ids, material codes) ready for direct
     Moller-Trumbore testing — leaf AABBs are skipped entirely.
 
-With BRANCH=28 a 300k-triangle detector is 4 levels deep and a typical
-ray fetches ~8-12 rows per intersection instead of the ~105 node
-records of a narrow BVH.  Construction reuses the Morton
+With BRANCH=128 the 42M-triangle full demo is 4 levels deep and a
+typical ray fetches ~11 rows per intersection (measured, round 2)
+instead of the ~105 node records of a narrow BVH; BRANCH and
+TARGET_DEGREE are env-overridable (CHROMA_TPU_BRANCH /
+CHROMA_TPU_TARGET_DEGREE) for build experiments.  Construction reuses the Morton
 recursive-grid coarsening of the reference builder (reference:
 chroma/bvh/grid.py) but groups to a wide target degree and emits rows
 directly.  All numpy, vectorized.
@@ -50,7 +52,7 @@ QVERT_OFF = 8                  # cluster: 9 components x BRANCH u16,
 QVERT_WORDS_PER_COMP = BRANCH // 2          # component-major u16 pairs
 TRI_ID_OFF = QVERT_OFF + 9 * QVERT_WORDS_PER_COMP  # BRANCH tri ids
 MAT_OFF = TRI_ID_OFF + BRANCH               # BRANCH mat codes
-ROW_WIDTH = MAT_OFF + BRANCH                # 190 words = 760 B
+ROW_WIDTH = MAT_OFF + BRANCH                # 840 words = 3360 B at BRANCH=128
 LAYOUT_VERSION = 4
 assert BRANCH % 2 == 0
 
@@ -69,10 +71,12 @@ class MBVH(object):
         return len(self.rows)
 
 
-def _coarsen_group(morton_codes, nnodes, target_degree):
+def _coarsen_group(morton_codes, nnodes, target_degree, branch=None):
     """One recursive-grid grouping round: coarsen codes until the mean
-    fan-out reaches target_degree, then split runs > BRANCH.
-    Returns (first_child, nchild, coarsened_codes)."""
+    fan-out reaches target_degree, then split runs > ``branch``
+    (default BRANCH).  Returns (first_child, nchild, coarsened_codes)."""
+    if branch is None:
+        branch = BRANCH
     codes = morton_codes
     nunique = int((np.ediff1d(codes) > 0).sum()) + 1
     while nnodes / float(max(nunique, 1)) < target_degree and nunique > 1:
@@ -82,11 +86,11 @@ def _coarsen_group(morton_codes, nnodes, target_degree):
     first_child = np.flatnonzero(
         np.ediff1d(codes, to_begin=np.uint64(1)) > 0).astype(np.int64)
     run_len = np.ediff1d(first_child, to_end=nnodes - first_child[-1])
-    nsplit = -(-run_len // BRANCH)
+    nsplit = -(-run_len // branch)
     if (nsplit > 1).any():
         starts = np.repeat(first_child, nsplit)
         intra = _intra_run(nsplit)
-        first_child = (starts + intra * BRANCH).astype(np.int64)
+        first_child = (starts + intra * branch).astype(np.int64)
     nchild = np.ediff1d(first_child,
                         to_end=nnodes - first_child[-1]).astype(np.int64)
     return first_child, nchild, codes

@@ -119,6 +119,25 @@ def _interp(tables, table, idx, wavelength):
     return lo + (hi - lo) * f
 
 
+def _interp_rows(tables, stacked, idx, wavelength):
+    """Wavelength-interpolated fetch of a (K, W, P) property stack at
+    per-photon row ``idx``: ONE paired row gather returns all P
+    properties, replacing P separate _interp calls (the service-pass
+    cost is dominated by gather count, not bytes — ARCHITECTURE.md).
+    The stack itself is built at trace time from loop-invariant tables
+    (a few hundred rows), so XLA hoists it out of the step loop."""
+    w0, dw, nw = tables.wavelength0, tables.wavelength_step, \
+        tables.nwavelengths
+    x = jnp.clip((wavelength - w0) / dw, 0.0, nw - 1.0)
+    jl = jnp.clip(x.astype(jnp.int32), 0, nw - 2)
+    f = x - jl
+    flat = stacked.reshape(-1, stacked.shape[-1])
+    base = idx * nw + jl
+    lo = flat[base]
+    hi = flat[base + 1]
+    return lo + (hi - lo) * f[:, None]
+
+
 def _sample_icdf_flat(icdf, row_idx, u):
     """Sample a stacked inverse-CDF table (R, NU) at per-photon rows."""
     nu = icdf.shape[-1]
@@ -299,10 +318,13 @@ def physics_update(state, res, geom, u, flags, active, nan_mask,
     normal = jnp.where(outside_in[..., None], raw_normal, -raw_normal)
 
     wl = state['wavelength']
-    n1 = _interp(geom, geom.refractive_index, m1, wl)
+    bulk = jnp.stack([geom.refractive_index, geom.absorption_length,
+                      geom.scattering_length], axis=-1)
+    bvals = _interp_rows(geom, bulk, m1, wl)
+    n1 = bvals[:, 0]
+    absorption_length = bvals[:, 1]
+    scattering_length = bvals[:, 2]
     n2 = _interp(geom, geom.refractive_index, m2, wl)
-    absorption_length = _interp(geom, geom.absorption_length, m1, wl)
-    scattering_length = _interp(geom, geom.scattering_length, m1, wl)
 
     # ---- propagate_to_boundary --------------------------------------
     eps = 1e-20
@@ -437,10 +459,14 @@ def physics_update(state, res, geom, u, flags, active, nan_mask,
         cos_i = jnp.clip(dot(normal, -state['dir']), -1.0, 1.0)
         spec_dir = state['dir'] + 2.0 * cos_i[..., None] * normal
 
-        detect_p = _interp(geom, geom.surf_detect, s_idx, wl)
-        absorb_p = _interp(geom, geom.surf_absorb, s_idx, wl)
-        rdiff_p = _interp(geom, geom.surf_reflect_diffuse, s_idx, wl)
-        rspec_p = _interp(geom, geom.surf_reflect_specular, s_idx, wl)
+        spack = jnp.stack([geom.surf_detect, geom.surf_absorb,
+                           geom.surf_reflect_diffuse,
+                           geom.surf_reflect_specular], axis=-1)
+        svals = _interp_rows(geom, spack, s_idx, wl)
+        detect_p = svals[:, 0]
+        absorb_p = svals[:, 1]
+        rdiff_p = svals[:, 2]
+        rspec_p = svals[:, 3]
 
         # ---------- DEFAULT model (photon.h:684) ----------------------
         is_default = at_surface & (model == 0)

@@ -51,8 +51,8 @@ def test_coarsen_group_matches_numpy():
     rng = np.random.RandomState(1)
     codes = np.sort(rng.randint(0, 2 ** 40, 5000).astype(np.uint64))
     fc_nat, codes_nat = native.coarsen_group(codes, 11.0, 28)
-    fc_np, nc_np, codes_np = mbvh_mod._coarsen_group(codes.copy(),
-                                                     len(codes), 11.0)
+    fc_np, nc_np, codes_np = mbvh_mod._coarsen_group(
+        codes.copy(), len(codes), 11.0, branch=28)
     np.testing.assert_array_equal(codes_nat, codes_np)
     np.testing.assert_array_equal(fc_nat, fc_np)
 

@@ -38,13 +38,9 @@ def main():
     geom = gg.geom
     key = jax.random.PRNGKey(1)
 
-    n = 1 << 18
-    state = gpu.GPUPhotons(_isotropic_photons(n)).state
-    run(state, geom, key, n, 4096, 6)
-
     n = 1 << 20
     state = gpu.GPUPhotons(_isotropic_photons(n)).state
-    for w, se in ((8192, 6), (8192, 4), (4096, 6)):
+    for w, se in ((8192, 6), (8192, 8)):
         run(state, geom, key, n, w, se)
 
 
