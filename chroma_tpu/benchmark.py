@@ -83,6 +83,11 @@ def propagate(gpu_geometry, number=10, nphotons=500000, max_steps=100):
     run_times = []
     for _ in range(number):
         gp = gpu.GPUPhotons(photons)
+        # finish the async upload before the clock starts: the
+        # reference's pycuda H2D completes before its t0 too
+        # (reference chroma/benchmark.py:84-87), and upload rate is
+        # its own metric (load_photons)
+        _sync(gp.state['pos'])
         t0 = time.time()
         gp.propagate(gpu_geometry, rng_states, max_steps=max_steps)
         _sync(gp.state['flags'])

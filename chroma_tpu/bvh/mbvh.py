@@ -45,7 +45,8 @@ TARGET_DEGREE = int(os.environ.get('CHROMA_TPU_TARGET_DEGREE',
 # fixed overhead regardless of batch width.
 HDR_KIND = 0                   # bit0: 1=cluster; bits 8..15: count
 HDR_BASE = 1                   # internal: global row id of first child
-BOX_OFF = 2                    # internal: BRANCH x (x,y,z) lo|hi<<16
+BOX_OFF = 2                    # internal: component-major, axis k's
+                               # BRANCH lo|hi<<16 words at BOX_OFF+k*BRANCH
 QORIGIN_OFF = 2                # cluster: 3 x f32 local origin
 QSCALE_OFF = 5                 # cluster: 3 x f32 local scale
 QVERT_OFF = 8                  # cluster: 9 components x BRANCH u16,
@@ -53,7 +54,7 @@ QVERT_WORDS_PER_COMP = BRANCH // 2          # component-major u16 pairs
 TRI_ID_OFF = QVERT_OFF + 9 * QVERT_WORDS_PER_COMP  # BRANCH tri ids
 MAT_OFF = TRI_ID_OFF + BRANCH               # BRANCH mat codes
 ROW_WIDTH = MAT_OFF + BRANCH                # 840 words = 3360 B at BRANCH=128
-LAYOUT_VERSION = 4
+LAYOUT_VERSION = 5
 assert BRANCH % 2 == 0
 
 
@@ -256,13 +257,13 @@ def build_mbvh(mesh, material_codes=None, target_degree=TARGET_DEGREE):
         lo = layer_lo[k - 1][child]
         hi = layer_hi[k - 1][child]
         for ax in range(3):
-            rows[dst_rep, BOX_OFF + slot * 3 + ax] = \
+            rows[dst_rep, BOX_OFF + ax * BRANCH + slot] = \
                 lo[:, ax] | (hi[:, ax] << 16)
         # empty slots: invalid box (lo=0xFFFF > hi=0) never hits
         empty = np.ones((nk, BRANCH), dtype=bool)
         empty[np.repeat(prow, nc), slot] = False
         erow, eslot = np.nonzero(empty)
         for ax in range(3):
-            rows[id_base[k] + erow, BOX_OFF + eslot * 3 + ax] = 0xFFFF
+            rows[id_base[k] + erow, BOX_OFF + ax * BRANCH + eslot] = 0xFFFF
 
     return MBVH(world_coords, rows, nblocks, nlayers, ntris)

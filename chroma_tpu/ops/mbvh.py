@@ -150,6 +150,8 @@ def _walk_body(geom, depth):
             lo = (w & jnp.uint32(0xFFFF)).astype(jnp.float32)
             hi = (w >> jnp.uint32(16)).astype(jnp.float32)
             # block halfword layout: slots [0..B/2) in lo, rest in hi
+            # (per-component decode measured faster than one whole-
+            # block decode: smaller fused intermediates win)
             q = jnp.concatenate([lo, hi], axis=1)
             k = j % 3
             return q * qscale[k] + qorigin[k]
@@ -212,12 +214,13 @@ def _walk_body(geom, depth):
                                  jnp.uint32),
                              s['best_mat'])
 
-        # ---- internal: slab-test all child boxes, component-wise ----
+        # ---- internal: slab-test all child boxes (component-major
+        # box words: contiguous per-axis slices, decoded lazily) ------
+        ws = geom.world_scale
         tmin = None
         tmax = None
-        ws = geom.world_scale
         for k in range(3):
-            pk = row[:, BOX_OFF + k:BOX_OFF + 3 * BRANCH:3]
+            pk = row[:, BOX_OFF + k * BRANCH:BOX_OFF + (k + 1) * BRANCH]
             lok = geom.world_origin[k] \
                 + (pk & jnp.uint32(0xFFFF)).astype(jnp.float32) * ws
             hik = geom.world_origin[k] \
@@ -285,7 +288,7 @@ def root_seed(geom, depth, inv_dir, noid, active):
     tmin = None
     tmax = None
     for k in range(3):
-        pk = root[BOX_OFF + k:BOX_OFF + 3 * BRANCH:3][None, :]
+        pk = root[BOX_OFF + k * BRANCH:BOX_OFF + (k + 1) * BRANCH][None, :]
         lok = geom.world_origin[k] \
             + (pk & jnp.uint32(0xFFFF)).astype(jnp.float32) * ws
         hik = geom.world_origin[k] \

@@ -15,9 +15,10 @@ import os
 import numpy as np
 import jax.numpy as jnp
 
+from chroma_tpu.bvh.mbvh import LAYOUT_VERSION
 from chroma_tpu.ops.geometry_pack import GeometryTables, DetectorTables
 
-_FORMAT_VERSION = 1
+_FORMAT_VERSION = 2
 
 
 def _cache_dir(name):
@@ -42,7 +43,8 @@ def save_tables(name, geom, det=None):
     """Persist packed tables under CHROMA_TPU_CACHE/tables/<name>."""
     d = _cache_dir(name)
     os.makedirs(d, exist_ok=True)
-    meta = {'version': _FORMAT_VERSION, 'has_det': det is not None}
+    meta = {'version': _FORMAT_VERSION, 'has_det': det is not None,
+            'mbvh_layout': LAYOUT_VERSION}
     for prefix, obj in (('geom', geom), ('det', det)):
         if obj is None:
             continue
@@ -63,7 +65,8 @@ def load_tables(name):
         return None
     with open(metafile) as f:
         meta = json.load(f)
-    if meta.get('version') != _FORMAT_VERSION:
+    if meta.get('version') != _FORMAT_VERSION \
+            or meta.get('mbvh_layout') != LAYOUT_VERSION:
         return None
 
     def load(prefix, cls):

@@ -40,7 +40,7 @@ def main():
 
     n = 1 << 20
     state = gpu.GPUPhotons(_isotropic_photons(n)).state
-    for w, se in ((8192, 6), (8192, 8)):
+    for w, se in ((8192, 6), (16384, 6)):
         run(state, geom, key, n, w, se)
 
 
