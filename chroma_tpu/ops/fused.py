@@ -221,12 +221,12 @@ def propagate_fused(state, geom, key, max_steps=100, use_weights=False,
     # stats: [services, photon_steps, lane_iters, pending_lane_iters]
     stats = jnp.zeros(4, jnp.int32)
 
-    def make_body(body_walk):
+    def make_body(body_walk, body_walk_np):
         def body(carry):
             lane, pool, next_ptr, key, stats = carry
             s = lane
-            for _ in range(service_every):
-                s = body_walk(s)
+            for i in range(service_every):
+                s = body_walk(s) if i % 2 == 0 else body_walk_np(s)
             lane = s
             holding = lane['holding']
             pending = jnp.any(lane['masks'] != 0, axis=(1, 2))
@@ -246,6 +246,7 @@ def propagate_fused(state, geom, key, max_steps=100, use_weights=False,
         """Run until all lanes drain (or, with a target, until the
         pool is dry and few enough lanes remain to compact)."""
         body_walk = mbvh._walk_body(geom, depth)
+        body_walk_np = mbvh._walk_body(geom, depth, do_prune=False)
 
         def cond(carry):
             lane, pool, next_ptr, kk, stats = carry
@@ -256,7 +257,7 @@ def propagate_fused(state, geom, key, max_steps=100, use_weights=False,
             return more & ((next_ptr < n) | (nhold > target))
 
         return jax.lax.while_loop(
-            cond, make_body(body_walk),
+            cond, make_body(body_walk, body_walk_np),
             (lane, pool, next_ptr, key, stats))
 
     next_ptr = jnp.asarray(w, jnp.int32)

@@ -60,7 +60,7 @@ def tquant_scale(geom):
     return 255.0 / (geom.world_scale * 65535.0 * 1.7320509)
 
 
-def _walk_body(geom, depth):
+def _walk_body(geom, depth, do_prune=True):
     """The per-iteration walker body over a traversal state dict.
 
     Ordered + self-pruning (round 2): every pushed child carries an
@@ -87,15 +87,19 @@ def _walk_body(geom, depth):
         neg_origin_inv_dir = s['noid']
         min_dist = s['min_dist']
 
-        # lazy prune: a pending child whose quantized entry distance
-        # exceeds the current best hit can never improve it
-        mdc = jnp.clip(jnp.floor(min_dist * sq) + 1.0, 0.0, 255.0)
-        keep = tcodes <= mdc[:, None, None].astype(jnp.uint8)
-        keep_bits = jnp.sum(
-            jnp.where(keep.reshape(keep.shape[0], depth, NMASK_WORDS, 32),
-                      jnp.uint32(1) << iota32[None, None, None, :],
-                      jnp.uint32(0)), axis=3)
-        masks = masks & keep_bits
+        if do_prune:
+            # lazy prune: a pending child whose quantized entry
+            # distance exceeds the current best hit can never improve
+            # it (alternate iterations skip this — the prune pays for
+            # itself at half cadence)
+            mdc = jnp.clip(jnp.floor(min_dist * sq) + 1.0, 0.0, 255.0)
+            keep = tcodes <= mdc[:, None, None].astype(jnp.uint8)
+            keep_bits = jnp.sum(
+                jnp.where(
+                    keep.reshape(keep.shape[0], depth, NMASK_WORDS, 32),
+                    jnp.uint32(1) << iota32[None, None, None, :],
+                    jnp.uint32(0)), axis=3)
+            masks = masks & keep_bits
 
         # deepest level with pending children (predicated scan)
         pending = jnp.any(masks != 0, axis=2)        # (n, depth)

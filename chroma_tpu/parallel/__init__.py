@@ -24,6 +24,26 @@ from jax.experimental.shard_map import shard_map
 
 from chroma_tpu.ops import photon as photon_ops
 from chroma_tpu.ops.daq import run_daq
+from chroma_tpu.ops.fused import propagate_fused
+
+
+def _propagate_local(local_state, geom, key, max_steps, use_weights,
+                     scatter_first):
+    """Per-shard propagation through the fused megakernel driver.
+
+    The fused pool scatters results back by the carried ``index``, which
+    is GLOBAL across shards — re-index locally for the run and restore
+    the global indices afterwards (order is preserved by construction,
+    so the pass-through is exact)."""
+    n_local = local_state['pos'].shape[0]
+    gidx = local_state['index']
+    local = dict(local_state,
+                 index=jnp.arange(n_local, dtype=jnp.uint32))
+    out, _ = propagate_fused(local, geom, key, max_steps=max_steps,
+                             use_weights=use_weights,
+                             scatter_first=scatter_first)
+    out['index'] = gidx
+    return out
 
 
 def make_photon_mesh(devices=None, axis_name='photons'):
@@ -55,14 +75,15 @@ def pad_to_multiple(state, multiple):
 
 
 def propagate_sharded(state, geom, key, mesh, max_steps=100,
-                      use_weights=False, scatter_first=0, sort_every=1):
-    """Propagate a photon batch sharded across the mesh's devices.
+                      use_weights=False, scatter_first=0):
+    """Propagate a photon batch sharded across the mesh's devices
+    (each shard runs the fused megakernel driver independently — no
+    communication in the hot loop).
 
     The batch size must divide the mesh (see pad_to_multiple).
     Returns the propagated state, still sharded.
     """
     axis = mesh.axis_names[0]
-    nshards = mesh.devices.size
 
     @partial(shard_map, mesh=mesh,
              in_specs=(P(axis), None, None),
@@ -70,11 +91,8 @@ def propagate_sharded(state, geom, key, mesh, max_steps=100,
              check_rep=False)
     def _run(local_state, geom, key):
         local_key = jax.random.fold_in(key, jax.lax.axis_index(axis))
-        out, _ = photon_ops.propagate(
-            local_state, geom, local_key, max_steps=max_steps,
-            use_weights=use_weights, scatter_first=scatter_first,
-            sort_every=sort_every)
-        return out
+        return _propagate_local(local_state, geom, local_key,
+                                max_steps, use_weights, scatter_first)
 
     return _run(state, geom, key)
 
@@ -98,8 +116,8 @@ def propagate_and_daq_sharded(state, geom, det, key, mesh, nchannels,
     def _run(local_state, geom, det, key):
         local_key = jax.random.fold_in(key, jax.lax.axis_index(axis))
         k_prop, k_daq = jax.random.split(local_key)
-        out, _ = photon_ops.propagate(local_state, geom, k_prop,
-                                      max_steps=max_steps)
+        out = _propagate_local(local_state, geom, k_prop, max_steps,
+                               False, 0)
         chan = run_daq(out, geom, det, k_daq, nchannels,
                        ndaq=ndaq)
         # ICI collectives in place of device atomics

@@ -261,3 +261,43 @@ def test_nan_photons_abort(vacuum_box):
     # the rest are unaffected
     assert ((p.flags[1:] & event.NO_HIT) > 0).all()
     assert not ((p.flags[1:] & event.NAN_ABORT) > 0).any()
+
+
+def test_fused_matches_compacting_statistically(water_box):
+    """The fused megakernel driver (ops/fused.py) and the host-driven
+    compacting driver must sample identical physics: compare terminal
+    flag rates and arrival-time moments on a water box."""
+    import jax
+    from chroma_tpu.ops.fused import propagate_fused
+
+    n = 6000
+    rng = np.random.RandomState(11)
+    dirs = rng.normal(size=(n, 3)).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=1)[:, None]
+    pol = np.cross(rng.normal(size=(n, 3)), dirs).astype(np.float32)
+    pol /= np.linalg.norm(pol, axis=1)[:, None]
+    photons = event.Photons(pos=np.zeros((n, 3), np.float32), dir=dirs,
+                            pol=pol,
+                            wavelengths=np.full(n, 400.0, np.float32))
+
+    state = gpu_photon.upload_photons(photons)
+    out_c, _ = gpu_photon.propagate(state, water_box,
+                                    jax.random.PRNGKey(5), max_steps=20)
+    out_c = gpu_photon.unsort_photons(out_c)
+    pc = gpu_photon.download_photons(out_c)
+
+    state = gpu_photon.upload_photons(photons)
+    out_f, _ = propagate_fused(state, water_box, jax.random.PRNGKey(6),
+                               max_steps=20, width=2048)
+    pf = gpu_photon.download_photons(out_f)
+
+    # the fused pool writes results back to original slots: order kept
+    np.testing.assert_array_equal(pf.wavelengths, photons.wavelengths)
+
+    for flag in (event.NO_HIT, event.RAYLEIGH_SCATTER,
+                 event.REFLECT_SPECULAR):
+        rc = ((pc.flags & flag) != 0).mean()
+        rf = ((pf.flags & flag) != 0).mean()
+        err = 3 * np.sqrt(max(rc * (1 - rc), 1e-4) / n) * 2
+        assert abs(rc - rf) < err + 0.01, (flag, rc, rf)
+    assert abs(pc.t.mean() - pf.t.mean()) < 0.1 * pc.t.std() + 1e-3

@@ -40,7 +40,7 @@ def main():
 
     n = 1 << 20
     state = gpu.GPUPhotons(_isotropic_photons(n)).state
-    for w, se in ((8192, 6), (16384, 6)):
+    for w, se in ((8192, 5), (8192, 6)):
         run(state, geom, key, n, w, se)
 
 
