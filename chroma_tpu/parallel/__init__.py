@@ -14,7 +14,7 @@ atomicAdd / atomicOr (chroma/cuda/daq.cu:73-75).
 Multi-host batches distribute over DCN exactly like the reference's
 ZMQ event batching — host code is unchanged.
 """
-from functools import partial
+from functools import lru_cache, partial
 
 import numpy as np
 import jax
@@ -74,6 +74,25 @@ def pad_to_multiple(state, multiple):
     return out, n
 
 
+@lru_cache(maxsize=64)
+def _sharded_propagate_fn(mesh, max_steps, use_weights):
+    """Build ONCE per (mesh, statics): re-tracing the fused driver
+    under shard_map on every call costs seconds of host time (the
+    per-event stall that made small sharded batches pathological)."""
+    axis = mesh.axis_names[0]
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P(axis), None, None, None),
+             out_specs=P(axis),
+             check_rep=False)
+    def _run(local_state, geom, key, scatter_first):
+        local_key = jax.random.fold_in(key, jax.lax.axis_index(axis))
+        return _propagate_local(local_state, geom, local_key,
+                                max_steps, use_weights, scatter_first)
+
+    return jax.jit(_run)
+
+
 def propagate_sharded(state, geom, key, mesh, max_steps=100,
                       use_weights=False, scatter_first=0):
     """Propagate a photon batch sharded across the mesh's devices
@@ -83,31 +102,13 @@ def propagate_sharded(state, geom, key, mesh, max_steps=100,
     The batch size must divide the mesh (see pad_to_multiple).
     Returns the propagated state, still sharded.
     """
+    fn = _sharded_propagate_fn(mesh, max_steps, use_weights)
+    return fn(state, geom, key, scatter_first)
+
+
+@lru_cache(maxsize=64)
+def _sharded_daq_fn(mesh, nchannels, max_steps, ndaq):
     axis = mesh.axis_names[0]
-
-    @partial(shard_map, mesh=mesh,
-             in_specs=(P(axis), None, None),
-             out_specs=P(axis),
-             check_rep=False)
-    def _run(local_state, geom, key):
-        local_key = jax.random.fold_in(key, jax.lax.axis_index(axis))
-        return _propagate_local(local_state, geom, local_key,
-                                max_steps, use_weights, scatter_first)
-
-    return _run(state, geom, key)
-
-
-def propagate_and_daq_sharded(state, geom, det, key, mesh, nchannels,
-                              max_steps=100, ndaq=1):
-    """One full sharded step: propagate + DAQ + cross-chip channel
-    reduction.  This is the framework's flagship multi-chip "step":
-    channel earliest-times combine with a min-collective, charges with
-    psum, and channel histories with a bitwise OR across shards.
-
-    Returns (sharded propagated state, replicated channel dict).
-    """
-    axis = mesh.axis_names[0]
-    nshards = mesh.devices.size
 
     @partial(shard_map, mesh=mesh,
              in_specs=(P(axis), None, None, None),
@@ -130,4 +131,17 @@ def propagate_and_daq_sharded(state, geom, det, key, mesh, nchannels,
                                jax.lax.bitwise_or, (0,))
         return out, dict(t=t, q=q, flags=flags)
 
-    return _run(state, geom, det, key)
+    return jax.jit(_run)
+
+
+def propagate_and_daq_sharded(state, geom, det, key, mesh, nchannels,
+                              max_steps=100, ndaq=1):
+    """One full sharded step: propagate + DAQ + cross-chip channel
+    reduction.  This is the framework's flagship multi-chip "step":
+    channel earliest-times combine with a min-collective, charges with
+    psum, and channel histories with a bitwise OR across shards.
+
+    Returns (sharded propagated state, replicated channel dict).
+    """
+    fn = _sharded_daq_fn(mesh, nchannels, max_steps, ndaq)
+    return fn(state, geom, det, key)
