@@ -153,10 +153,13 @@ def _load_or_build_mbvh(geometry, material_codes):
     from chroma_tpu.bvh.mbvh import build_mbvh
     from chroma_tpu.cache import Cache
 
-    from chroma_tpu.bvh.mbvh import BRANCH, ROW_WIDTH, LAYOUT_VERSION
+    from chroma_tpu.bvh.mbvh import (BRANCH, ROW_WIDTH, LAYOUT_VERSION,
+                                     TARGET_DEGREE)
     # cluster rows bake in material codes, so they join the cache key;
-    # the layout parameters version the format
-    name = 'mbvh%d_%d_v%d_' % (BRANCH, ROW_WIDTH, LAYOUT_VERSION) \
+    # the layout parameters AND the grouping degree version the format
+    # (a degree change alters the tree, not just the encoding)
+    name = 'mbvh%d_%d_d%d_v%d_' % (BRANCH, ROW_WIDTH, TARGET_DEGREE,
+                                   LAYOUT_VERSION) \
         + _md5(np.ascontiguousarray(material_codes)).hexdigest()[:10]
     try:
         cache = Cache()

@@ -38,10 +38,10 @@ def main():
     geom = gg.geom
     key = jax.random.PRNGKey(1)
 
-    n = 1 << 20
-    state = gpu.GPUPhotons(_isotropic_photons(n)).state
-    for w, se in ((8192, 5), (8192, 6)):
-        run(state, geom, key, n, w, se)
+    for nl in (20, 21):
+        n = 1 << nl
+        state = gpu.GPUPhotons(_isotropic_photons(n)).state
+        run(state, geom, key, n, 8192, 6)
 
 
 if __name__ == '__main__':
