@@ -8,8 +8,10 @@ c-th pending child lives at base + c).  Every iteration:
 
   1. find the deepest level with pending work (predicated scan over a
      static depth — no ascend iterations, no stacks, no scatters);
-  2. pop the lowest pending bit, gather that child's row (the ONLY
-     gather of the step — everything else is VPU);
+  2. pop the NEAREST pending child (each pushed child carries an 8-bit
+     quantized entry distance; stale children beyond the current best
+     hit are lazily pruned) and gather its row — the ONLY gather of
+     the step, everything else is VPU;
   3. cluster rows: Moller-Trumbore all BRANCH pre-assembled triangles,
      keep the closest (plus its geometric normal and material code so
      the physics step needs no further triangle fetches);
