@@ -24,17 +24,16 @@ os.environ.setdefault('JAX_COMPILATION_CACHE_DIR',
                       '/tmp/chroma_tpu_jax_cache_tpu')
 import numpy as np
 from chroma_tpu import gpu, demo
-from chroma_tpu.cache import Cache
-from chroma_tpu.loader import create_geometry_from_obj
 from chroma_tpu.benchmark import propagate
 
 which = os.environ.get('BENCH_DETECTOR', 'full')
 gg = gpu.GPUDetector.from_table_cache(which)
 if gg is None:
-    if which == 'full':
-        geo = create_geometry_from_obj(Cache().load_geometry('demo_full'))
-    else:
-        geo = create_geometry_from_obj(demo.tiny)
+    # cold build: the instanced TLAS/BLAS pack needs only the
+    # flattened scene (no legacy BVH), so even the 42M-triangle full
+    # demo packs in minutes on one core
+    geo = demo.detector() if which == 'full' else demo.tiny()
+    geo.flatten()
     gg = gpu.GPUDetector(geo)
     gg.save_table_cache(which)
 nphotons = int(os.environ.get('BENCH_NPHOTONS', 1 << 20))

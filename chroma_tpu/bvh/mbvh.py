@@ -7,10 +7,18 @@ therefore packs the tree into self-contained fat rows of one uniform
 width:
 
   * an *internal row* holds up to BRANCH quantized child AABBs plus
-    the global id of the first child row (children are consecutive);
+    the global id of the first child row (children are consecutive),
+    and carries its own box dequantization constants (origin + scale)
+    so different subtrees can use different fixed-point grids;
   * a *cluster row* holds up to BRANCH fully-assembled triangles
     (vertices, triangle ids, material codes) ready for direct
-    Moller-Trumbore testing — leaf AABBs are skipped entirely.
+    Moller-Trumbore testing — leaf AABBs are skipped entirely;
+  * an *instance-entry row* (round 3) is an internal row that also
+    carries a rigid transform: popping it moves the ray into the
+    instance's local frame and its children are the shared BLAS's
+    root children.  One BLAS is built per unique (mesh, material
+    codes) solid and shared by every placement, so the 10k-identical-
+    PMT demo stores ~4k unique triangles instead of ~42M.
 
 With BRANCH=128 the 42M-triangle full demo is 4 levels deep and a
 typical ray fetches ~11 rows per intersection (measured, round 2)
@@ -20,12 +28,18 @@ CHROMA_TPU_TARGET_DEGREE) for build experiments.  Construction reuses the Morton
 recursive-grid coarsening of the reference builder (reference:
 chroma/bvh/grid.py) but groups to a wide target degree and emits rows
 directly.  All numpy, vectorized.
+
+The TLAS/BLAS split is a TPU-native improvement with no reference
+equivalent (the reference flattens all placements into one mesh,
+reference: chroma/geometry.py:337); traversal semantics still follow
+chroma/cuda/mesh.h:41.
 """
+import os
+from hashlib import md5 as _md5
+
 import numpy as np
 
 from chroma_tpu.bvh.build import create_leaf_nodes, _intra_run
-
-import os
 
 BRANCH = int(os.environ.get('CHROMA_TPU_BRANCH', 128))
                                # children per block / triangles per cluster
@@ -43,7 +57,13 @@ TARGET_DEGREE = int(os.environ.get('CHROMA_TPU_TARGET_DEGREE',
 # r1 BRANCH=28, 78% of each vector row was padding).  Wider rows also
 # halve tree depth, and traversal iterations cost ~126 us each in
 # fixed overhead regardless of batch width.
-HDR_KIND = 0                   # bit0: 1=cluster; bits 8..15: count
+HDR_KIND = 0                   # bit0: 1=cluster; bit1: 1=row content is
+                               # in a BLAS local frame; bit2: 1=instance
+                               # entry (carries a transform);
+                               # bits 8..15: child count
+KIND_CLUSTER = 1
+KIND_LOCAL = 2
+KIND_ENTRY = 4
 HDR_BASE = 1                   # internal: global row id of first child
 BOX_OFF = 2                    # internal: component-major, axis k's
                                # BRANCH lo|hi<<16 words at BOX_OFF+k*BRANCH
@@ -54,19 +74,32 @@ QVERT_WORDS_PER_COMP = BRANCH // 2          # component-major u16 pairs
 TRI_ID_OFF = QVERT_OFF + 9 * QVERT_WORDS_PER_COMP  # BRANCH tri ids
 MAT_OFF = TRI_ID_OFF + BRANCH               # BRANCH mat codes
 ROW_WIDTH = MAT_OFF + BRANCH                # 840 words = 3360 B at BRANCH=128
-LAYOUT_VERSION = 5
-assert BRANCH % 2 == 0
+# internal/entry rows use the words after the box region (free in the
+# cluster-dominated ROW_WIDTH) for their own decode constants:
+IBOX_ORIGIN_OFF = BOX_OFF + 3 * BRANCH      # 3 x f32 box grid origin
+IBOX_SCALE_OFF = IBOX_ORIGIN_OFF + 3        # 3 x f32 box grid scale
+XFORM_OFF = IBOX_SCALE_OFF + 3              # entry: 9 x f32 R (row-major,
+                                            # local->world) + 3 x f32 T
+TRI_BASE_OFF = XFORM_OFF + 12               # entry: global tri id offset
+assert TRI_BASE_OFF + 1 <= ROW_WIDTH
+LAYOUT_VERSION = 6
+# the walker's (NMASK_WORDS, 32) bitmask reshapes require a whole
+# number of 32-bit mask words (CHROMA_TPU_BRANCH is env-overridable)
+assert BRANCH >= 32 and BRANCH % 32 == 0, \
+    'CHROMA_TPU_BRANCH must be a positive multiple of 32'
 
 
 class MBVH(object):
     """Packed wide BVH: uniform (R, ROW_WIDTH) u32 rows, root row 0."""
 
-    def __init__(self, world_coords, rows, nblocks, depth, ntriangles):
+    def __init__(self, world_coords, rows, nblocks, depth, ntriangles,
+                 instanced=False):
         self.world_coords = world_coords
         self.rows = rows
         self.nblocks = nblocks
         self.depth = depth
         self.ntriangles = ntriangles
+        self.instanced = instanced
 
     def __len__(self):
         return len(self.rows)
@@ -107,6 +140,7 @@ def _leaf_data(mesh):
     world_origin = vertices.min(axis=0)
     world_scale = float(np.max(vertices.max(axis=0) - world_origin)
                         / (2 ** 16 - 2))
+    world_scale = max(world_scale, 1e-12)
     wc = WorldCoords(world_origin=world_origin, world_scale=world_scale)
 
     nat = native.quantize_and_morton(vertices, mesh.triangles,
@@ -132,34 +166,18 @@ def _leaf_data(mesh):
     return wc, lo, hi, morton
 
 
-def build_mbvh(mesh, material_codes=None, target_degree=TARGET_DEGREE):
-    """Build an MBVH over ``mesh``.
+def _grouping_rounds(cur_lo, cur_hi, codes, nleaves, target_degree):
+    """Bottom-up recursive-grid grouping over Morton-sorted leaf boxes.
 
-    ``material_codes``: optional (T,) uint32 per-triangle packed
-    material/surface codes baked into cluster rows (zeros if omitted).
-    """
+    Returns (groupings, layer_lo, layer_hi): groupings[k] is the
+    (first_child, nchild) run structure grouping layer k-1 nodes
+    (layer -1 = the leaves) into layer k nodes; layer_lo/hi[k] are the
+    grid-coordinate AABBs of layer k's nodes."""
     from chroma_tpu import native
 
-    tv_all = mesh.vertices[mesh.triangles].astype(np.float32)  # (T,3,3)
-    ntris = len(mesh.triangles)
-    if material_codes is None:
-        material_codes = np.zeros(ntris, dtype=np.uint32)
-    material_codes = np.asarray(material_codes, dtype=np.uint32)
-
-    world_coords, cur_lo, cur_hi, morton = _leaf_data(mesh)
-    order = native.radix_argsort_u64(morton)
-    if order is None:
-        order = np.argsort(morton, kind='stable')
-    morton = morton[order]
-    tri_order = order.astype(np.int64)           # leaf i -> triangle id
-    cur_lo = cur_lo[order]
-    cur_hi = cur_hi[order]
-
-    # ---- grouping rounds (bottom-up) --------------------------------
-    groupings = []          # (first_child, nchild) per round
+    groupings = []
     layer_lo, layer_hi = [], []
-    n = ntris
-    codes = morton
+    n = nleaves
     while n > 1:
         nat = native.coarsen_group(codes, target_degree, BRANCH)
         if nat is not None:
@@ -182,37 +200,33 @@ def build_mbvh(mesh, material_codes=None, target_degree=TARGET_DEGREE):
         n = len(first_child)
     if not groupings:
         groupings.append((np.array([0], dtype=np.int64),
-                          np.array([ntris], dtype=np.int64)))
+                          np.array([nleaves], dtype=np.int64)))
         layer_lo.append(cur_lo[:1])
         layer_hi.append(cur_hi[:1])
+    return groupings, layer_lo, layer_hi
 
-    # layers, bottom-up: layer 0 = clusters, layer k>0 = internal.
-    nlayers = len(groupings)
-    layer_sizes = [len(g[0]) for g in groupings]
 
-    # global row ids: internal rows top-down layer by layer, clusters
-    # last — root is always row 0.
-    nclusters = layer_sizes[0]
-    nblocks = sum(layer_sizes[1:]) if nlayers > 1 else 0
-    id_base = {}
-    running = 0
-    for k in range(nlayers - 1, 0, -1):
-        id_base[k] = running
-        running += layer_sizes[k]
-    id_base[0] = running
-    assert running == nblocks
+def _write_f32(rows, dst, off, values):
+    """Store float32 ``values`` (k,3)-or-(3,) into u32 words at
+    ``off..off+3`` of rows ``dst``."""
+    v = np.ascontiguousarray(np.broadcast_to(
+        np.asarray(values, dtype=np.float32),
+        (len(np.atleast_1d(dst)), 3)))
+    rows[np.atleast_1d(dst)[:, None], off + np.arange(3)[None, :]] = \
+        v.view(np.uint32)
 
-    rows = np.zeros((nblocks + nclusters, ROW_WIDTH), dtype=np.uint32)
 
-    # ---- cluster rows (quantized component-major vertices) ----------
-    fc0, nc0 = groupings[0]
-    crow = np.arange(nclusters)
-    cdst = id_base[0] + crow
-    rows[cdst, HDR_KIND] = np.uint32(1) | (nc0.astype(np.uint32) << 8)
+def _emit_cluster_rows(rows, cdst, fc0, nc0, tv_all, tri_order,
+                       material_codes, frame_local):
+    """Fill cluster rows ``cdst`` from leaf grouping (fc0, nc0)."""
+    nclusters = len(fc0)
+    kind = np.uint32(KIND_CLUSTER | (KIND_LOCAL if frame_local else 0))
+    rows[cdst, HDR_KIND] = kind | (nc0.astype(np.uint32) << 8)
     slot = _intra_run(nc0)
     leaf_idx = np.repeat(fc0, nc0) + slot
     tri_ids = tri_order[leaf_idx]
-    dst_row = id_base[0] + np.repeat(crow, nc0)
+    crow = np.arange(nclusters)
+    dst_row = cdst[np.repeat(crow, nc0)]
     verts = tv_all[tri_ids]                              # (T,3,3)
 
     # per-cluster local grid
@@ -235,7 +249,7 @@ def build_mbvh(mesh, material_codes=None, target_degree=TARGET_DEGREE):
     # block halfword layout: word w holds slots (w, w + BRANCH/2) so
     # the walker unpacks with a concat instead of a lane interleave
     half = BRANCH // 2
-    packed = padded[:, :half, :] | (padded[:, half:, :] << 16)  # (C,14,9)
+    packed = padded[:, :half, :] | (padded[:, half:, :] << 16)
     rows[cdst[:, None],
          QVERT_OFF + np.arange(9 * QVERT_WORDS_PER_COMP)[None, :]] = \
         packed.transpose(0, 2, 1).reshape(nclusters, -1)
@@ -243,27 +257,342 @@ def build_mbvh(mesh, material_codes=None, target_degree=TARGET_DEGREE):
     rows[dst_row, TRI_ID_OFF + slot] = tri_ids.astype(np.uint32)
     rows[dst_row, MAT_OFF + slot] = material_codes[tri_ids]
 
-    # ---- internal rows ---------------------------------------------
+
+def _emit_internal_rows(rows, dst, fc, nc, child_base, child_lo, child_hi,
+                        box_origin, box_scale, frame_local):
+    """Fill internal rows ``dst``: children at child_base + fc .. and
+    child AABBs (child_lo/hi u32 grid coords) in the box region, with
+    the row-carried dequant constants (box_origin, box_scale)."""
+    nk = len(fc)
+    prow = np.arange(nk)
+    kind = np.uint32(KIND_LOCAL if frame_local else 0)
+    rows[dst, HDR_KIND] = kind | (nc.astype(np.uint32) << 8)
+    rows[dst, HDR_BASE] = (child_base + fc).astype(np.uint32)
+    slot = _intra_run(nc)
+    child = np.repeat(fc, nc) + slot
+    dst_rep = dst[np.repeat(prow, nc)]
+    lo = child_lo[child]
+    hi = child_hi[child]
+    for ax in range(3):
+        rows[dst_rep, BOX_OFF + ax * BRANCH + slot] = \
+            lo[:, ax] | (hi[:, ax] << 16)
+    # empty slots: invalid box (lo=0xFFFF > hi=0) never hits
+    empty = np.ones((nk, BRANCH), dtype=bool)
+    empty[np.repeat(prow, nc), slot] = False
+    erow, eslot = np.nonzero(empty)
+    for ax in range(3):
+        rows[dst[erow], BOX_OFF + ax * BRANCH + eslot] = 0xFFFF
+    _write_f32(rows, dst, IBOX_ORIGIN_OFF, box_origin)
+    _write_f32(rows, dst, IBOX_SCALE_OFF, box_scale)
+
+
+def _build_rows(mesh, material_codes, target_degree, frame_local=False):
+    """Build the packed row block for one mesh (root at row 0).
+
+    Returns (world_coords, rows, nblocks, nlayers, ntris).  Triangle
+    ids in cluster rows are LOCAL to ``mesh`` (callers embedding the
+    block under an instance entry add a per-instance base).
+    """
+    tv_all = mesh.vertices[mesh.triangles].astype(np.float32)  # (T,3,3)
+    ntris = len(mesh.triangles)
+    if material_codes is None:
+        material_codes = np.zeros(ntris, dtype=np.uint32)
+    material_codes = np.asarray(material_codes, dtype=np.uint32)
+
+    world_coords, cur_lo, cur_hi, morton = _leaf_data(mesh)
+    from chroma_tpu import native
+    order = native.radix_argsort_u64(morton)
+    if order is None:
+        order = np.argsort(morton, kind='stable')
+    morton = morton[order]
+    tri_order = order.astype(np.int64)           # leaf i -> triangle id
+    cur_lo = cur_lo[order]
+    cur_hi = cur_hi[order]
+
+    groupings, layer_lo, layer_hi = _grouping_rounds(
+        cur_lo, cur_hi, morton, ntris, target_degree)
+
+    # layers, bottom-up: layer 0 = clusters, layer k>0 = internal.
+    nlayers = len(groupings)
+    layer_sizes = [len(g[0]) for g in groupings]
+
+    # global row ids: internal rows top-down layer by layer, clusters
+    # last — root is always row 0.
+    nclusters = layer_sizes[0]
+    nblocks = sum(layer_sizes[1:]) if nlayers > 1 else 0
+    id_base = {}
+    running = 0
+    for k in range(nlayers - 1, 0, -1):
+        id_base[k] = running
+        running += layer_sizes[k]
+    id_base[0] = running
+    assert running == nblocks
+
+    rows = np.zeros((nblocks + nclusters, ROW_WIDTH), dtype=np.uint32)
+
+    fc0, nc0 = groupings[0]
+    cdst = id_base[0] + np.arange(nclusters)
+    _emit_cluster_rows(rows, cdst, fc0, nc0, tv_all, tri_order,
+                       material_codes, frame_local)
+
     for k in range(1, nlayers):
         fc, nc = groupings[k]
-        nk = len(fc)
-        prow = np.arange(nk)
-        dst = id_base[k] + prow
-        rows[dst, HDR_KIND] = (nc.astype(np.uint32) << 8)
-        rows[dst, HDR_BASE] = (id_base[k - 1] + fc).astype(np.uint32)
-        slot = _intra_run(nc)
-        child = np.repeat(fc, nc) + slot
-        dst_rep = id_base[k] + np.repeat(prow, nc)
-        lo = layer_lo[k - 1][child]
-        hi = layer_hi[k - 1][child]
-        for ax in range(3):
-            rows[dst_rep, BOX_OFF + ax * BRANCH + slot] = \
-                lo[:, ax] | (hi[:, ax] << 16)
-        # empty slots: invalid box (lo=0xFFFF > hi=0) never hits
-        empty = np.ones((nk, BRANCH), dtype=bool)
-        empty[np.repeat(prow, nc), slot] = False
-        erow, eslot = np.nonzero(empty)
-        for ax in range(3):
-            rows[id_base[k] + erow, BOX_OFF + ax * BRANCH + eslot] = 0xFFFF
+        dst = id_base[k] + np.arange(len(fc))
+        _emit_internal_rows(rows, dst, fc, nc, id_base[k - 1],
+                            layer_lo[k - 1], layer_hi[k - 1],
+                            world_coords.world_origin,
+                            np.repeat(world_coords.world_scale, 3),
+                            frame_local)
 
+    return world_coords, rows, nblocks, nlayers, ntris
+
+
+def build_mbvh(mesh, material_codes=None, target_degree=TARGET_DEGREE):
+    """Build a (non-instanced) MBVH over ``mesh``.
+
+    ``material_codes``: optional (T,) uint32 per-triangle packed
+    material/surface codes baked into cluster rows (zeros if omitted).
+    """
+    world_coords, rows, nblocks, nlayers, ntris = _build_rows(
+        mesh, material_codes, target_degree)
     return MBVH(world_coords, rows, nblocks, nlayers, ntris)
+
+
+def _orthonormal(rot):
+    """True if ``rot`` is a proper rotation (instancing requires a
+    rigid transform so ray-space distances equal world distances)."""
+    return (np.allclose(rot @ rot.T, np.eye(3), atol=1e-5)
+            and np.linalg.det(rot) > 0.0)
+
+
+def instance_groups(geometry, material_codes):
+    """Group the placed solids of ``geometry`` by shared (mesh,
+    material codes): returns (inst_blas (P,), blas list of
+    (mesh, codes, tri_count), tri_base (P,), usable: bool).
+
+    ``usable`` is False when any placement has a non-rigid rotation
+    or there is nothing to instance (fewer than 2 placements).
+    """
+    solids = geometry.solids
+    tri_counts = [len(s.mesh.triangles) for s in solids]
+    nt = np.concatenate([[0], np.cumsum(tri_counts)]).astype(np.int64)
+    if len(solids) < 2:
+        return None, None, None, False
+    for rot in geometry.solid_rotations:
+        if not _orthonormal(np.asarray(rot, dtype=np.float64)):
+            return None, None, None, False
+
+    groups = {}
+    blas_list = []
+    inst_blas = np.empty(len(solids), dtype=np.int64)
+    for i, s in enumerate(solids):
+        codes = material_codes[nt[i]:nt[i + 1]]
+        dig = _md5(np.ascontiguousarray(codes)).hexdigest()
+        key = (id(s.mesh), dig)
+        if key not in groups:
+            groups[key] = len(blas_list)
+            blas_list.append((s.mesh, codes, tri_counts[i]))
+        inst_blas[i] = groups[key]
+    return inst_blas, blas_list, nt[:-1], True
+
+
+def instancing_gain(geometry):
+    """Triangles saved by instancing: sum over placement groups of
+    (copies - 1) x triangles."""
+    seen = {}
+    gain = 0
+    for s in geometry.solids:
+        k = id(s.mesh)
+        if k in seen:
+            gain += len(s.mesh.triangles)
+        else:
+            seen[k] = True
+    return gain
+
+
+def build_mbvh_instanced(geometry, material_codes,
+                         target_degree=TARGET_DEGREE):
+    """Build a two-level (TLAS over instances / shared BLAS per unique
+    solid) MBVH for ``geometry`` (a flattened Geometry/Detector).
+
+    Returns None when the geometry is not instanceable (non-rigid
+    rotations, or fewer than two placements).
+    """
+    from chroma_tpu.bvh.bvh import WorldCoords
+    from chroma_tpu.bvh.build import morton_codes_3d
+    from chroma_tpu import native
+
+    inst_blas, blas_list, tri_base, ok = instance_groups(
+        geometry, material_codes)
+    if not ok:
+        return None
+    rotations = np.asarray(geometry.solid_rotations, dtype=np.float32)
+    displacements = np.asarray(geometry.solid_displacements,
+                               dtype=np.float32)
+
+    # drop empty placements
+    keep = np.array([len(m.triangles) > 0 for m, _, _ in blas_list])[
+        inst_blas]
+    inst_blas = inst_blas[keep]
+    rotations = rotations[keep]
+    displacements = displacements[keep]
+    tri_base = tri_base[keep]
+    ninst = len(inst_blas)
+    if ninst < 2:
+        return None
+
+    # ---- per-unique-solid BLAS blocks ------------------------------
+    blocks = []
+    for mesh, codes, _cnt in blas_list:
+        if len(mesh.triangles) == 0:
+            blocks.append(None)
+            continue
+        wc, rows, nblocks, nlayers, ntris = _build_rows(
+            mesh, codes, target_degree, frame_local=True)
+        lo, hi = mesh.vertices.min(axis=0), mesh.vertices.max(axis=0)
+        blocks.append(dict(wc=wc, rows=rows, nlayers=nlayers,
+                           bounds=(lo, hi)))
+
+    # ---- instance world AABBs --------------------------------------
+    wlo = np.empty((ninst, 3), dtype=np.float64)
+    whi = np.empty((ninst, 3), dtype=np.float64)
+    for k, blk in enumerate(blocks):
+        if blk is None:
+            continue
+        sel = np.flatnonzero(inst_blas == k)
+        if len(sel) == 0:
+            continue
+        lo, hi = blk['bounds']
+        corners = np.stack(np.meshgrid([lo[0], hi[0]], [lo[1], hi[1]],
+                                       [lo[2], hi[2]], indexing='ij'),
+                           axis=-1).reshape(8, 3)        # (8,3)
+        # world = R @ local + T
+        wc8 = np.einsum('nij,kj->nki', rotations[sel].astype(np.float64),
+                        corners) + displacements[sel][:, None, :]
+        wlo[sel] = wc8.min(axis=1)
+        whi[sel] = wc8.max(axis=1)
+
+    world_origin = wlo.min(axis=0).astype(np.float32)
+    world_scale = float(max((whi.max(axis=0)
+                             - world_origin).max() / (2 ** 16 - 2),
+                            1e-12))
+    wc_global = WorldCoords(world_origin=world_origin,
+                            world_scale=world_scale)
+
+    def quant(v):
+        return np.clip((v - world_origin) / world_scale,
+                       0, 2 ** 16 - 2).astype(np.uint32)
+
+    q_lo = quant(wlo)
+    q_lo[q_lo > 0] -= 1
+    q_hi = quant(whi) + 1
+    centers = quant((wlo + whi) * 0.5)
+    morton = morton_codes_3d(centers)
+    order = native.radix_argsort_u64(morton)
+    if order is None:
+        order = np.argsort(morton, kind='stable')
+    # sorted-instance arrays (entry rows are laid out in this order)
+    q_lo, q_hi, morton = q_lo[order], q_hi[order], morton[order]
+    inst_blas = inst_blas[order]
+    rotations = rotations[order]
+    displacements = displacements[order]
+    tri_base = tri_base[order]
+
+    groupings, layer_lo, layer_hi = _grouping_rounds(
+        q_lo, q_hi, morton, ninst, target_degree)
+    nlayers_t = len(groupings)
+    layer_sizes = [len(g[0]) for g in groupings]
+    n_tlas = sum(layer_sizes)
+
+    # row ids: [TLAS internals root-first] [entries] [BLAS blocks]
+    id_base = {}
+    running = 0
+    for k in range(nlayers_t - 1, -1, -1):
+        id_base[k] = running
+        running += layer_sizes[k]
+    assert running == n_tlas
+    entries_base = n_tlas
+    blas_base = []
+    running = n_tlas + ninst
+    for blk in blocks:
+        blas_base.append(running if blk is not None else -1)
+        running += len(blk['rows']) if blk is not None else 0
+    total_rows = running
+
+    rows = np.zeros((total_rows, ROW_WIDTH), dtype=np.uint32)
+
+    # ---- BLAS blocks (offset their internal child pointers) ---------
+    for blk, base in zip(blocks, blas_base):
+        if blk is None:
+            continue
+        b = blk['rows'].copy()
+        internal = (b[:, HDR_KIND] & KIND_CLUSTER) == 0
+        b[internal, HDR_BASE] += np.uint32(base)
+        rows[base:base + len(b)] = b
+
+    # ---- entry rows -------------------------------------------------
+    for k, blk in enumerate(blocks):
+        if blk is None:
+            continue
+        sel = np.flatnonzero(inst_blas == k)
+        if len(sel) == 0:
+            continue
+        dst = entries_base + sel
+        root = rows[blas_base[k]]          # BLAS root (already offset)
+        tmpl = np.zeros(ROW_WIDTH, dtype=np.uint32)
+        if blk['nlayers'] > 1:
+            # embed the internal root: its children become ours
+            tmpl[HDR_KIND] = (root[HDR_KIND]
+                              & np.uint32(0xFFFFFF00)) \
+                | np.uint32(KIND_ENTRY | KIND_LOCAL)
+            tmpl[HDR_BASE] = root[HDR_BASE]
+            tmpl[BOX_OFF:BOX_OFF + 3 * BRANCH] = \
+                root[BOX_OFF:BOX_OFF + 3 * BRANCH]
+        else:
+            # root is a single cluster: one child box = mesh bounds
+            tmpl[HDR_KIND] = np.uint32(KIND_ENTRY | KIND_LOCAL
+                                       | (1 << 8))
+            tmpl[HDR_BASE] = np.uint32(blas_base[k])
+            lo, hi = blk['bounds']
+            wc = blk['wc']
+            qlo = np.clip((lo - wc.world_origin) / wc.world_scale,
+                          0, 2 ** 16 - 2).astype(np.uint32)
+            qlo[qlo > 0] -= 1
+            qhi = np.clip((hi - wc.world_origin) / wc.world_scale,
+                          0, 2 ** 16 - 2).astype(np.uint32) + 1
+            box = np.full((3, BRANCH), 0xFFFF, dtype=np.uint32)
+            box[:, 0] = qlo | (qhi << 16)
+            tmpl[BOX_OFF:BOX_OFF + 3 * BRANCH] = box.reshape(-1)
+        rows[dst] = tmpl[None, :]
+        _write_f32(rows, dst, IBOX_ORIGIN_OFF, blk['wc'].world_origin)
+        _write_f32(rows, dst, IBOX_SCALE_OFF,
+                   np.repeat(blk['wc'].world_scale, 3))
+        xf = np.concatenate([rotations[sel].reshape(-1, 9),
+                             displacements[sel]], axis=1) \
+            .astype(np.float32)                          # (n,12)
+        rows[dst[:, None], XFORM_OFF + np.arange(12)[None, :]] = \
+            xf.view(np.uint32)
+        rows[dst, TRI_BASE_OFF] = tri_base[sel].astype(np.uint32)
+
+    # ---- TLAS internal rows -----------------------------------------
+    for k in range(nlayers_t):
+        fc, nc = groupings[k]
+        dst = id_base[k] + np.arange(len(fc))
+        if k == 0:
+            child_base, child_lo, child_hi = entries_base, q_lo, q_hi
+        else:
+            child_base = id_base[k - 1]
+            child_lo, child_hi = layer_lo[k - 1], layer_hi[k - 1]
+        _emit_internal_rows(rows, dst, fc, nc, child_base,
+                            child_lo, child_hi, world_origin,
+                            np.repeat(np.float32(world_scale), 3),
+                            frame_local=False)
+
+    # depth = deepest level index + 1: TLAS internals occupy levels
+    # 0..nlayers_t-1, entries level nlayers_t, BLAS levels below the
+    # (embedded) root add max(blas nlayers - 1, 1) more
+    depth = nlayers_t + 1 + max(
+        max(b['nlayers'] - 1, 1) for b in blocks if b is not None)
+    ntris = int(sum(len(m.triangles) for m, _, _ in blas_list))
+    return MBVH(wc_global, rows, total_rows, depth, ntris,
+                instanced=True)

@@ -211,6 +211,9 @@ class GPUPhotons(object):
             self.state, srv = propagate_fused(
                 self.state, geom, key, max_steps=max_steps,
                 use_weights=use_weights, scatter_first=scatter_first)
+            # stats[1] counts photon-steps; keep the mean steps/photon
+            # for API continuity with the compacting driver's last_steps
+            self.last_stats = np.asarray(srv)
             self.last_steps = None
             return None
         # tracking mode: one step per host iteration, snapshot each

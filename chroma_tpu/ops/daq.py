@@ -23,14 +23,19 @@ from chroma_tpu.ops.geometry_pack import sample_icdf
 _HISTORY_BITS = tuple(range(12)) + (31,)
 
 
-@partial(jax.jit, static_argnames=('nchannels', 'ndaq'))
-def run_daq(state, geom, det, key, nchannels, ndaq=1, global_weight=1.0,
-            detection_state=event.SURFACE_DETECT):
+@partial(jax.jit, static_argnames=('nchannels', 'ndaq', 'nevents'))
+def run_daq(state, geom, det, key, nchannels, ndaq=1, nevents=1,
+            global_weight=1.0, detection_state=event.SURFACE_DETECT):
     """One DAQ acquisition over a propagated photon batch.
 
-    Returns dict(t (ndaq*C,), q (ndaq*C,), flags (ndaq*C,)) with
-    unhit channels at t = 1e9 — the same "earliest time" convention as
-    the reference (chroma/gpu/daq.py begin_acquire).
+    Returns dict(t, q, flags), each (nevents*ndaq*C,), with unhit
+    channels at t = 1e9 — the same "earliest time" convention as the
+    reference (chroma/gpu/daq.py begin_acquire).  With ``nevents`` > 1
+    photons accumulate into per-event channel blocks keyed by their
+    ``evidx`` (one fused segment reduction digitizes a whole
+    multi-event megabatch — the reference loops events instead,
+    chroma/sim.py:134); photons with evidx outside [0, nevents) are
+    dropped (batch padding carries evidx = 0xFFFFFFFF).
     """
     n = state['pos'].shape[0]
     tri = state['last_hit_triangle']
@@ -38,8 +43,9 @@ def run_daq(state, geom, det, key, nchannels, ndaq=1, global_weight=1.0,
 
     solid = geom.solid_id_map[jnp.maximum(tri, 0)]
     channel = det.solid_id_to_channel_index[solid]
+    evidx = state['evidx'].astype(jnp.int32)
     detected = (tri >= 0) & ((flags & jnp.uint32(detection_state)) != 0) \
-        & (channel >= 0)
+        & (channel >= 0) & (evidx >= 0) & (evidx < nevents)
 
     u = jax.random.uniform(key, (3, ndaq, n), dtype=jnp.float32)
     weight = state['weight'] * global_weight
@@ -50,9 +56,10 @@ def run_daq(state, geom, det, key, nchannels, ndaq=1, global_weight=1.0,
     charge = sample_icdf(det.charge_icdf, u[2].reshape(-1)).reshape(ndaq, n)
     q_int = jnp.round(charge / det.charge_unit).astype(jnp.uint32)
 
-    # channel slot per daq copy; dropped when not kept
-    total = nchannels * ndaq
-    slot = channel[None, :] + nchannels * jnp.arange(ndaq)[:, None]
+    # channel slot per (event block, daq copy); dropped when not kept
+    total = nchannels * ndaq * nevents
+    slot = channel[None, :] + nchannels * (
+        jnp.arange(ndaq)[:, None] + ndaq * evidx[None, :])
     slot = jnp.where(keep, slot, total).reshape(-1)  # out of range -> drop
 
     times = jnp.where(keep, times, 1e9).reshape(-1)

@@ -186,13 +186,21 @@ def propagate_fused(state, geom, key, max_steps=100, use_weights=False,
                     service_every=SERVICE_EVERY):
     """Propagate all photons in ``state`` to termination, fused.
 
-    Returns (final_state, n_services).  Output order == input order
-    (results scatter back to each photon's original slot).
+    Returns ``(final_state, stats)`` where ``stats`` is an int32[4]
+    vector [service_passes, photon_steps, lane_iterations,
+    active_lane_iterations].  Output order == input order: retiring
+    lanes scatter into the pool at slot ``index``, and the pool is
+    consumed sequentially, so the state is re-indexed 0..n-1 here and
+    the caller's ``index`` restored on return (an arbitrary permuted
+    index input would otherwise overwrite not-yet-run photons).
     """
+    caller_index = state['index']
+    state = dict(state, index=jnp.arange(state['pos'].shape[0],
+                                         dtype=jnp.uint32))
     n = state['pos'].shape[0]
     w = width or min(n, DEFAULT_WIDTH)
     w = min(w, n)
-    depth = min(geom.mbvh_depth + 1, mbvh.MAX_LEVELS)
+    depth = min(geom.mbvh_depth, mbvh.MAX_LEVELS)
 
     pool = _pack(state)
     lane = {k: v[:w] for k, v in state.items()}
@@ -212,6 +220,7 @@ def propagate_fused(state, geom, key, max_steps=100, use_weights=False,
         org=lane['pos'],
         iters=jnp.zeros((), jnp.int32),
         nactive=jnp.zeros((), jnp.int32),
+        **mbvh.extra_state(geom, w),
     )
     alive = (lane['flags'] & jnp.uint32(event.TERMINAL_FLAGS)) == 0
     ok = ~jnp.isnan(jnp.sum(lane['dir'], axis=1)
@@ -274,4 +283,6 @@ def propagate_fused(state, geom, key, max_steps=100, use_weights=False,
         lane, pool, next_ptr, key, stats, None)
 
     stats = stats.at[3].set(lane['nactive'])
-    return _unpack(pool), stats
+    out = _unpack(pool)
+    out['index'] = caller_index
+    return out, stats

@@ -49,8 +49,12 @@ class GeometryTables:
     # BVH (stackless: escape pointers precomputed from the layered tree)
     nodes: jnp.ndarray             # (N,4) u32
     escape: jnp.ndarray            # (N,)  u32 next-node-if-skip ("ropes")
-    world_origin: jnp.ndarray      # (3,)  f32
+    world_origin: jnp.ndarray      # (3,)  f32 (MBVH world box)
     world_scale: jnp.ndarray       # ()    f32
+    # the legacy escape-rope walker decodes `nodes` with the legacy
+    # BVH's own grid (an instanced MBVH's world box is slightly wider)
+    legacy_world_origin: jnp.ndarray  # (3,) f32
+    legacy_world_scale: jnp.ndarray   # ()   f32
     # MBVH: wide fat-row tree, the production traversal structure
     mbvh_rows: jnp.ndarray         # (R, ROW_WIDTH) u32
     # materials (M = #materials, C = max components, W/Tn = grid sizes)
@@ -93,6 +97,9 @@ class GeometryTables:
     time_step: float = struct.field(pytree_node=False, default=0.05)
     ntimes: int = struct.field(pytree_node=False, default=20000)
     mbvh_depth: int = struct.field(pytree_node=False, default=8)
+    # True when mbvh_rows is a TLAS/BLAS instanced tree (the walker
+    # compiles the instance-entry handling only when set)
+    mbvh_instanced: bool = struct.field(pytree_node=False, default=False)
     nu: int = struct.field(pytree_node=False, default=2048)
     # static capability flags: jit specializes away unused physics
     has_reemission: bool = struct.field(pytree_node=False, default=False)
@@ -147,19 +154,44 @@ def sample_icdf(icdf, u):
     return lo + (hi - lo) * f
 
 
-def _load_or_build_mbvh(geometry, material_codes):
-    """Build (or load from the BVH cache) the wide fat-row MBVH."""
+INSTANCING_MIN_GAIN = 100_000       # duplicated triangles worth a TLAS
+
+
+def _want_instancing(geometry, instancing):
+    """Resolve the instancing policy: explicit argument, then the
+    CHROMA_TPU_INSTANCING env var, then auto (instanced when repeated
+    placements duplicate >= INSTANCING_MIN_GAIN triangles)."""
+    import os
+    from chroma_tpu.bvh.mbvh import instancing_gain
+    if instancing is None:
+        env = os.environ.get('CHROMA_TPU_INSTANCING')
+        if env is not None:
+            instancing = env.lower() not in ('0', 'false', 'no')
+    if instancing is None:
+        return instancing_gain(geometry) >= INSTANCING_MIN_GAIN
+    return bool(instancing)
+
+
+def _load_or_build_mbvh(geometry, material_codes, instancing=None):
+    """Build (or load from the BVH cache) the wide fat-row MBVH.
+
+    With instancing (auto for heavily repeated placements, e.g. PMT
+    arrays) a TLAS over placements + one shared BLAS per unique solid
+    replaces the flat tree: the 42M-triangle demo stores ~50k unique
+    triangles and the traversal working set drops ~1000x."""
     from hashlib import md5 as _md5
-    from chroma_tpu.bvh.mbvh import build_mbvh
+    from chroma_tpu.bvh.mbvh import build_mbvh, build_mbvh_instanced
     from chroma_tpu.cache import Cache
 
     from chroma_tpu.bvh.mbvh import (BRANCH, ROW_WIDTH, LAYOUT_VERSION,
                                      TARGET_DEGREE)
+    use_inst = _want_instancing(geometry, instancing)
     # cluster rows bake in material codes, so they join the cache key;
     # the layout parameters AND the grouping degree version the format
     # (a degree change alters the tree, not just the encoding)
-    name = 'mbvh%d_%d_d%d_v%d_' % (BRANCH, ROW_WIDTH, TARGET_DEGREE,
-                                   LAYOUT_VERSION) \
+    name = 'mbvh%d_%d_d%d_v%d_%s' % (BRANCH, ROW_WIDTH, TARGET_DEGREE,
+                                     LAYOUT_VERSION,
+                                     'i' if use_inst else 'f') \
         + _md5(np.ascontiguousarray(material_codes)).hexdigest()[:10]
     try:
         cache = Cache()
@@ -168,7 +200,11 @@ def _load_or_build_mbvh(geometry, material_codes):
             return cache.load_bvh(mesh_hash, name)
     except Exception:
         cache = None
-    mbvh = build_mbvh(geometry.mesh, material_codes=material_codes)
+    mbvh = None
+    if use_inst:
+        mbvh = build_mbvh_instanced(geometry, material_codes)
+    if mbvh is None:
+        mbvh = build_mbvh(geometry.mesh, material_codes=material_codes)
     if cache is not None:
         try:
             cache.save_bvh(mbvh, mesh_hash, name)
@@ -232,8 +268,13 @@ LEGACY_WALKER_MAX_TRIANGLES = 2_000_000
 
 
 def pack_geometry(geometry, wavelengths=None, times=None,
-                  include_legacy_bvh=None):
-    """Pack a flattened Geometry (with .bvh set) into GeometryTables."""
+                  include_legacy_bvh=None, instancing=None):
+    """Pack a flattened Geometry into GeometryTables.
+
+    ``instancing``: True/False forces the TLAS/BLAS instanced MBVH on
+    or off; None (default) decides automatically.  The legacy packed
+    BVH (escape-rope validation walker) additionally requires
+    ``geometry.bvh``; the MBVH does not."""
     if wavelengths is None:
         wavelengths = standard_wavelengths
     def uniform_step(grid, what):
@@ -352,16 +393,16 @@ def pack_geometry(geometry, wavelengths=None, times=None,
                           & np.uint32(0xFF)) << np.uint32(8)))
 
     bvh = geometry.bvh
-    if bvh is None:
-        raise ValueError('geometry has no BVH; call '
-                         'chroma_tpu.loader.create_geometry_from_obj')
-
     solid_id_map = geometry.solid_id.astype(np.int32)
 
     if include_legacy_bvh is None:
-        include_legacy_bvh = (len(geometry.mesh.triangles)
+        include_legacy_bvh = (bvh is not None
+                              and len(geometry.mesh.triangles)
                               <= LEGACY_WALKER_MAX_TRIANGLES)
     if include_legacy_bvh:
+        if bvh is None:
+            raise ValueError('geometry has no BVH; call '
+                             'chroma_tpu.loader.create_geometry_from_obj')
         nodes_arr = from_uint4(bvh.nodes)
         escape = compute_escape_pointers(nodes_arr)
         tri_vertices = geometry.mesh.vertices[geometry.mesh.triangles]
@@ -370,7 +411,12 @@ def pack_geometry(geometry, wavelengths=None, times=None,
         escape = np.zeros(1, dtype=np.uint32)
         tri_vertices = np.zeros((1, 3, 3), dtype=np.float32)
 
-    mbvh = _load_or_build_mbvh(geometry, material_codes)
+    mbvh = _load_or_build_mbvh(geometry, material_codes,
+                               instancing=instancing)
+    from chroma_tpu.ops.mbvh import MAX_LEVELS
+    if mbvh.depth > MAX_LEVELS:
+        raise ValueError('MBVH needs %d levels > walker MAX_LEVELS=%d'
+                         % (mbvh.depth, MAX_LEVELS))
 
     return GeometryTables(
         vertices=jnp.asarray(geometry.mesh.vertices, dtype=jnp.float32),
@@ -382,9 +428,16 @@ def pack_geometry(geometry, wavelengths=None, times=None,
         nodes=jnp.asarray(nodes_arr),
         escape=jnp.asarray(escape),
         mbvh_rows=jnp.asarray(mbvh.rows),
-        mbvh_depth=int(mbvh.depth) + 1,
-        world_origin=jnp.asarray(bvh.world_coords.world_origin),
-        world_scale=jnp.asarray(bvh.world_coords.world_scale),
+        mbvh_depth=int(mbvh.depth),
+        mbvh_instanced=bool(getattr(mbvh, 'instanced', False)),
+        world_origin=jnp.asarray(mbvh.world_coords.world_origin),
+        world_scale=jnp.asarray(mbvh.world_coords.world_scale),
+        legacy_world_origin=jnp.asarray(
+            bvh.world_coords.world_origin if bvh is not None
+            else mbvh.world_coords.world_origin),
+        legacy_world_scale=jnp.asarray(
+            bvh.world_coords.world_scale if bvh is not None
+            else mbvh.world_coords.world_scale),
         refractive_index=jnp.asarray(refractive_index),
         absorption_length=jnp.asarray(absorption_length),
         scattering_length=jnp.asarray(scattering_length),

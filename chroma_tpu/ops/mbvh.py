@@ -42,7 +42,10 @@ import jax.numpy as jnp
 from chroma_tpu.bvh.mbvh import (ROW_WIDTH, HDR_KIND, HDR_BASE, BOX_OFF,
                                  QORIGIN_OFF, QSCALE_OFF, QVERT_OFF,
                                  QVERT_WORDS_PER_COMP, TRI_ID_OFF,
-                                 MAT_OFF, BRANCH, NMASK_WORDS)
+                                 MAT_OFF, BRANCH, NMASK_WORDS,
+                                 IBOX_ORIGIN_OFF, IBOX_SCALE_OFF,
+                                 XFORM_OFF, TRI_BASE_OFF,
+                                 KIND_CLUSTER, KIND_LOCAL, KIND_ENTRY)
 
 MAX_LEVELS = 12
 
@@ -134,10 +137,50 @@ def _walk_body(geom, depth, do_prune=True):
         ptr = jnp.where(active, base_l + c, 0)
         row = rows[ptr]                     # THE gather, (N, ROW_WIDTH)
 
-        kind = row[:, HDR_KIND] & jnp.uint32(1)
-        count = (row[:, HDR_KIND] >> jnp.uint32(8)).astype(jnp.int32)
-        is_cluster = active & (kind == 1)
-        is_internal = active & (kind == 0)
+        hdr = row[:, HDR_KIND]
+        count = (hdr >> jnp.uint32(8)).astype(jnp.int32)
+        is_cluster = active & ((hdr & jnp.uint32(KIND_CLUSTER)) != 0)
+        is_internal = active & ((hdr & jnp.uint32(KIND_CLUSTER)) == 0)
+
+        # ---- instancing (static: compiled only for TLAS/BLAS
+        # geometries).  Popping an instance-entry row moves the lane's
+        # ray into the instance frame: local = R^T (world - T); the
+        # entry's embedded children (the shared BLAS root's children)
+        # and every BLAS row below them carry KIND_LOCAL and are
+        # tested with the instance-frame ray.  Rigid transforms
+        # preserve distances, so best-hit/tcode pruning runs in world
+        # metric unchanged.
+        if geom.mbvh_instanced:
+            is_entry = active & ((hdr & jnp.uint32(KIND_ENTRY)) != 0)
+            frame_local = (hdr & jnp.uint32(KIND_LOCAL)) != 0
+            xf = [jax.lax.bitcast_convert_type(row[:, XFORM_OFF + i],
+                                               jnp.float32)
+                  for i in range(12)]
+            omt = [s['org'][:, r] - xf[9 + r] for r in range(3)]
+            iorg_new = jnp.stack(
+                [xf[0 + k] * omt[0] + xf[3 + k] * omt[1]
+                 + xf[6 + k] * omt[2] for k in range(3)], axis=-1)
+            idir_new = jnp.stack(
+                [xf[0 + k] * s['dir'][:, 0] + xf[3 + k] * s['dir'][:, 1]
+                 + xf[6 + k] * s['dir'][:, 2] for k in range(3)],
+                axis=-1)
+            entc = is_entry[:, None]
+            irot = jnp.where(entc, jnp.stack(xf[:9], axis=-1), s['irot'])
+            iorg = jnp.where(entc, iorg_new, s['iorg'])
+            idir = jnp.where(entc, idir_new, s['idir'])
+            iinv = 1.0 / idir
+            inoid = -iorg * iinv
+            tri_base = jnp.where(is_entry,
+                                 row[:, TRI_BASE_OFF].astype(jnp.int32),
+                                 s['tri_base'])
+            fl = frame_local[:, None]
+            e_org = jnp.where(fl, iorg, origin)
+            e_dir = jnp.where(fl, idir, direction)
+            e_inv = jnp.where(fl, iinv, inv_dir)
+            e_noid = jnp.where(fl, inoid, neg_origin_inv_dir)
+        else:
+            e_org, e_dir = origin, direction
+            e_inv, e_noid = inv_dir, neg_origin_inv_dir
 
         # ---- cluster: Moller-Trumbore on component-wise (N,BRANCH)
         # slices of the quantized component-major vertex block — never
@@ -165,8 +208,8 @@ def _walk_body(geom, depth, do_prune=True):
         v0 = [vcomp(j) for j in range(3)]
         v1 = [vcomp(j) for j in range(3, 6)]
         v2 = [vcomp(j) for j in range(6, 9)]
-        d = [direction[:, k:k + 1] for k in range(3)]
-        o = [origin[:, k:k + 1] for k in range(3)]
+        d = [e_dir[:, k:k + 1] for k in range(3)]
+        o = [e_org[:, k:k + 1] for k in range(3)]
         e1 = [v1[k] - v0[k] for k in range(3)]
         e2 = [v2[k] - v0[k] for k in range(3)]
 
@@ -192,6 +235,11 @@ def _walk_body(geom, depth, do_prune=True):
                  & (v_b >= -eps) & (u_b + v_b <= 1.0 + eps) & (t_d > eps))
 
         tri_ids = row[:, TRI_ID_OFF:TRI_ID_OFF + BRANCH].astype(jnp.int32)
+        if geom.mbvh_instanced:
+            # BLAS cluster rows carry LOCAL triangle ids; the entry's
+            # carried base maps them to global (flattened-mesh) ids
+            tri_ids = tri_ids + jnp.where(frame_local, tri_base,
+                                          0)[:, None]
         valid = (t_hit & (slots[None, :] < count[:, None])
                  & (tri_ids != s['lht'][:, None]))
         t_dist = jnp.where(valid, t_d, jnp.inf)
@@ -211,8 +259,15 @@ def _walk_body(geom, depth, do_prune=True):
 
         best_tri = jnp.where(improved, pick(tri_ids), s['best_tri'])
         min_dist = jnp.where(improved, cl_dist, s['min_dist'])
-        norm_new = jnp.stack([pickf(norm_c[0]), pickf(norm_c[1]),
-                              pickf(norm_c[2])], axis=-1)
+        nl = [pickf(norm_c[0]), pickf(norm_c[1]), pickf(norm_c[2])]
+        if geom.mbvh_instanced:
+            # geometric normals of BLAS triangles are in the instance
+            # frame: rotate back to world (n_w = R n_l) at record time
+            # — later instance entries overwrite irot
+            nw = [irot[:, 3 * r + 0] * nl[0] + irot[:, 3 * r + 1] * nl[1]
+                  + irot[:, 3 * r + 2] * nl[2] for r in range(3)]
+            nl = [jnp.where(frame_local, nw[k], nl[k]) for k in range(3)]
+        norm_new = jnp.stack(nl, axis=-1)
         best_norm = jnp.where(improved[:, None], norm_new, s['best_norm'])
         mats = row[:, MAT_OFF:MAT_OFF + BRANCH]
         best_mat = jnp.where(improved,
@@ -221,19 +276,22 @@ def _walk_body(geom, depth, do_prune=True):
                              s['best_mat'])
 
         # ---- internal: slab-test all child boxes (component-major
-        # box words: contiguous per-axis slices, decoded lazily) ------
-        ws = geom.world_scale
+        # box words: contiguous per-axis slices, decoded lazily with
+        # the ROW-CARRIED grid constants — TLAS rows use the world
+        # grid, BLAS rows their own local grid) -----------------------
         tmin = None
         tmax = None
         for k in range(3):
             pk = row[:, BOX_OFF + k * BRANCH:BOX_OFF + (k + 1) * BRANCH]
-            lok = geom.world_origin[k] \
-                + (pk & jnp.uint32(0xFFFF)).astype(jnp.float32) * ws
-            hik = geom.world_origin[k] \
-                + (pk >> jnp.uint32(16)).astype(jnp.float32) * ws
-            t0 = lok * inv_dir[:, k:k + 1] + neg_origin_inv_dir[:, k:k + 1]
-            t1 = hik * inv_dir[:, k:k + 1] + neg_origin_inv_dir[:, k:k + 1]
-            finite = jnp.isfinite(inv_dir[:, k:k + 1])
+            bo = jax.lax.bitcast_convert_type(
+                row[:, IBOX_ORIGIN_OFF + k], jnp.float32)[:, None]
+            bs = jax.lax.bitcast_convert_type(
+                row[:, IBOX_SCALE_OFF + k], jnp.float32)[:, None]
+            lok = bo + (pk & jnp.uint32(0xFFFF)).astype(jnp.float32) * bs
+            hik = bo + (pk >> jnp.uint32(16)).astype(jnp.float32) * bs
+            t0 = lok * e_inv[:, k:k + 1] + e_noid[:, k:k + 1]
+            t1 = hik * e_inv[:, k:k + 1] + e_noid[:, k:k + 1]
+            finite = jnp.isfinite(e_inv[:, k:k + 1])
             small = jnp.where(finite, jnp.minimum(t0, t1), -jnp.inf)
             big = jnp.where(finite, jnp.maximum(t0, t1), jnp.inf)
             tmin = small if tmin is None else jnp.maximum(tmin, small)
@@ -263,6 +321,9 @@ def _walk_body(geom, depth, do_prune=True):
                    best_tri=best_tri,
                    min_dist=min_dist, best_norm=best_norm,
                    best_mat=best_mat, iters=s['iters'] + 1)
+        if geom.mbvh_instanced:
+            out.update(irot=irot, iorg=iorg, idir=idir,
+                       tri_base=tri_base)
         if 'nactive' in s:      # profiling accumulator (ops/fused.py)
             out['nactive'] = s['nactive'] \
                 + jnp.sum(active.astype(jnp.int32)).astype(jnp.int32)
@@ -290,15 +351,16 @@ def root_seed(geom, depth, inv_dir, noid, active):
 
     root = geom.mbvh_rows[0]                    # static slice, no gather
     slots = jnp.arange(BRANCH, dtype=jnp.int32)
-    ws = geom.world_scale
     tmin = None
     tmax = None
     for k in range(3):
         pk = root[BOX_OFF + k * BRANCH:BOX_OFF + (k + 1) * BRANCH][None, :]
-        lok = geom.world_origin[k] \
-            + (pk & jnp.uint32(0xFFFF)).astype(jnp.float32) * ws
-        hik = geom.world_origin[k] \
-            + (pk >> jnp.uint32(16)).astype(jnp.float32) * ws
+        bo = jax.lax.bitcast_convert_type(root[IBOX_ORIGIN_OFF + k],
+                                          jnp.float32)
+        bs = jax.lax.bitcast_convert_type(root[IBOX_SCALE_OFF + k],
+                                          jnp.float32)
+        lok = bo + (pk & jnp.uint32(0xFFFF)).astype(jnp.float32) * bs
+        hik = bo + (pk >> jnp.uint32(16)).astype(jnp.float32) * bs
         t0 = lok * inv_dir[:, k:k + 1] + noid[:, k:k + 1]
         t1 = hik * inv_dir[:, k:k + 1] + noid[:, k:k + 1]
         finite = jnp.isfinite(inv_dir[:, k:k + 1])
@@ -321,6 +383,20 @@ def root_seed(geom, depth, inv_dir, noid, active):
                       255.0).astype(jnp.uint8)
     tcodes = tcodes.at[:, 1, :].set(codes)
     return masks, bases, tcodes
+
+
+def extra_state(geom, n):
+    """Per-lane walker state that only instanced geometries carry: the
+    current instance's rotation, instance-frame ray, and global
+    triangle-id base.  The fields are only read for rows marked
+    KIND_LOCAL, which are only reachable after an instance-entry pop
+    set them, so zero-initialization is safe."""
+    if not geom.mbvh_instanced:
+        return {}
+    return dict(irot=jnp.zeros((n, 9), jnp.float32),
+                iorg=jnp.zeros((n, 3), jnp.float32),
+                idir=jnp.ones((n, 3), jnp.float32),
+                tri_base=jnp.zeros(n, jnp.int32))
 
 
 UNROLL = 4          # walker bodies per loop boundary: the ~126 us
@@ -401,7 +477,7 @@ def intersect_mesh(origin, direction, geom, last_hit_triangle=None,
     if last_hit_triangle is None:
         last_hit_triangle = jnp.full(n, -1, jnp.int32)
 
-    depth = min(geom.mbvh_depth + 1, MAX_LEVELS)
+    depth = min(geom.mbvh_depth, MAX_LEVELS)
 
     if active is None:
         active = jnp.ones(n, bool)
@@ -422,6 +498,7 @@ def intersect_mesh(origin, direction, geom, last_hit_triangle=None,
         noid=noid,
         lht=last_hit_triangle,
         iters=jnp.zeros((), jnp.int32),
+        **extra_state(geom, n),
     )
     body = _walk_body(geom, depth)
 

@@ -79,8 +79,9 @@ def intersect_mesh(origin, direction, geom, last_hit_triangle=None,
         node_idx = jnp.minimum(node_idx, jnp.uint32(n_nodes - 1))
         packed = nodes[node_idx]                       # (N,4) gather
         esc = escape[node_idx]                         # (N,)  gather
-        lower, upper = _dequantize(packed[:, :3], geom.world_origin,
-                                   geom.world_scale)
+        lower, upper = _dequantize(packed[:, :3],
+                                   geom.legacy_world_origin,
+                                   geom.legacy_world_scale)
         box_hit, box_dist = intersect_box(neg_origin_inv_dir, inv_dir,
                                           lower, upper)
         hit = active & box_hit & (box_dist <= s['min_dist'])

@@ -15,7 +15,8 @@ import os
 import numpy as np
 import jax.numpy as jnp
 
-from chroma_tpu.bvh.mbvh import LAYOUT_VERSION
+from chroma_tpu.bvh.mbvh import (LAYOUT_VERSION, BRANCH, ROW_WIDTH,
+                                 TARGET_DEGREE)
 from chroma_tpu.ops.geometry_pack import GeometryTables, DetectorTables
 
 _FORMAT_VERSION = 2
@@ -44,7 +45,12 @@ def save_tables(name, geom, det=None):
     d = _cache_dir(name)
     os.makedirs(d, exist_ok=True)
     meta = {'version': _FORMAT_VERSION, 'has_det': det is not None,
-            'mbvh_layout': LAYOUT_VERSION}
+            'mbvh_layout': LAYOUT_VERSION,
+            # the env-overridable build knobs change ROW_WIDTH / row
+            # layout / tree shape without bumping LAYOUT_VERSION, so
+            # they are part of the cache validity key
+            'branch': BRANCH, 'row_width': ROW_WIDTH,
+            'target_degree': TARGET_DEGREE}
     for prefix, obj in (('geom', geom), ('det', det)):
         if obj is None:
             continue
@@ -65,8 +71,13 @@ def load_tables(name):
         return None
     with open(metafile) as f:
         meta = json.load(f)
+    # pre-r3 caches carry no knob keys; they were built with the
+    # defaults of that era (BRANCH=128, ROW_WIDTH=840, degree=96)
     if meta.get('version') != _FORMAT_VERSION \
-            or meta.get('mbvh_layout') != LAYOUT_VERSION:
+            or meta.get('mbvh_layout') != LAYOUT_VERSION \
+            or meta.get('branch', 128) != BRANCH \
+            or meta.get('row_width', 840) != ROW_WIDTH \
+            or meta.get('target_degree', 96) != TARGET_DEGREE:
         return None
 
     def load(prefix, cls):

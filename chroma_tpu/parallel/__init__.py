@@ -20,7 +20,15 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+
+# jax >= 0.8 promotes shard_map out of experimental (and renames
+# check_rep -> check_vma); support both so a jax bump can't break us.
+if hasattr(jax, 'shard_map'):
+    def shard_map(f, mesh, in_specs, out_specs, check_rep=False):
+        return jax.shard_map(f, mesh=mesh, in_specs=in_specs,
+                             out_specs=out_specs, check_vma=check_rep)
+else:                                              # pragma: no cover
+    from jax.experimental.shard_map import shard_map
 
 from chroma_tpu.ops import photon as photon_ops
 from chroma_tpu.ops.daq import run_daq
@@ -31,18 +39,12 @@ def _propagate_local(local_state, geom, key, max_steps, use_weights,
                      scatter_first):
     """Per-shard propagation through the fused megakernel driver.
 
-    The fused pool scatters results back by the carried ``index``, which
-    is GLOBAL across shards — re-index locally for the run and restore
-    the global indices afterwards (order is preserved by construction,
-    so the pass-through is exact)."""
-    n_local = local_state['pos'].shape[0]
-    gidx = local_state['index']
-    local = dict(local_state,
-                 index=jnp.arange(n_local, dtype=jnp.uint32))
-    out, _ = propagate_fused(local, geom, key, max_steps=max_steps,
+    The carried ``index`` is GLOBAL across shards; propagate_fused
+    re-indexes locally for its pool scatters and passes the caller's
+    index through unchanged (order is preserved by construction)."""
+    out, _ = propagate_fused(local_state, geom, key, max_steps=max_steps,
                              use_weights=use_weights,
                              scatter_first=scatter_first)
-    out['index'] = gidx
     return out
 
 
@@ -67,6 +69,8 @@ def pad_to_multiple(state, multiple):
             filler = jnp.full((pad,), event.NO_HIT, jnp.uint32)
         if k == 'last_hit_triangle':
             filler = jnp.full((pad,), -1, jnp.int32)
+        if k == 'evidx':
+            filler = jnp.full((pad,), 0xFFFFFFFF, jnp.uint32)
         return jnp.concatenate([v, filler])
     out = {k: pad_arr(k, v) for k, v in state.items()}
     if 'index' in out:
@@ -107,7 +111,7 @@ def propagate_sharded(state, geom, key, mesh, max_steps=100,
 
 
 @lru_cache(maxsize=64)
-def _sharded_daq_fn(mesh, nchannels, max_steps, ndaq):
+def _sharded_daq_fn(mesh, nchannels, max_steps, ndaq, nevents):
     axis = mesh.axis_names[0]
 
     @partial(shard_map, mesh=mesh,
@@ -120,7 +124,7 @@ def _sharded_daq_fn(mesh, nchannels, max_steps, ndaq):
         out = _propagate_local(local_state, geom, k_prop, max_steps,
                                False, 0)
         chan = run_daq(out, geom, det, k_daq, nchannels,
-                       ndaq=ndaq)
+                       ndaq=ndaq, nevents=nevents)
         # ICI collectives in place of device atomics
         t = jax.lax.pmin(chan['t'], axis)
         q = jax.lax.psum(chan['q'], axis)
@@ -135,13 +139,15 @@ def _sharded_daq_fn(mesh, nchannels, max_steps, ndaq):
 
 
 def propagate_and_daq_sharded(state, geom, det, key, mesh, nchannels,
-                              max_steps=100, ndaq=1):
+                              max_steps=100, ndaq=1, nevents=1):
     """One full sharded step: propagate + DAQ + cross-chip channel
     reduction.  This is the framework's flagship multi-chip "step":
     channel earliest-times combine with a min-collective, charges with
     psum, and channel histories with a bitwise OR across shards.
+    ``nevents`` > 1 digitizes a multi-event megabatch into per-event
+    channel blocks keyed by photon evidx (see ops.daq.run_daq).
 
     Returns (sharded propagated state, replicated channel dict).
     """
-    fn = _sharded_daq_fn(mesh, nchannels, max_steps, ndaq)
+    fn = _sharded_daq_fn(mesh, nchannels, max_steps, ndaq, nevents)
     return fn(state, geom, det, key)

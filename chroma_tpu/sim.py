@@ -86,9 +86,34 @@ class Simulation(object):
 
         gpu_photons = gpu.GPUPhotons(batch_photons, copy_triangles=False,
                                      copy_weights=False)
-        tracking = gpu_photons.propagate(
-            self.gpu_geometry, self.rng_states, max_steps=max_steps,
-            track=self.photon_tracking, mesh=self.mesh)
+        is_detector = hasattr(self.detector, 'num_channels')
+        sharded_daq = (run_daq and is_detector and self.mesh is not None
+                       and int(self.mesh.devices.size) > 1
+                       and not self.photon_tracking)
+        batch_channels = None
+        if sharded_daq:
+            # the flagship multi-chip step: propagate + per-event DAQ +
+            # ICI channel reductions in ONE sharded program (pmin/psum/
+            # OR replace the reference's device atomics,
+            # chroma/cuda/daq.cu:73-75), instead of gathering the batch
+            # and digitizing single-device
+            from chroma_tpu import parallel
+            from chroma_tpu.ops import photon as photon_ops
+            n = gpu_photons.state['pos'].shape[0]
+            state, _ = parallel.pad_to_multiple(
+                gpu_photons.state, int(self.mesh.devices.size))
+            out_state, batch_channels = parallel.propagate_and_daq_sharded(
+                state, self.gpu_geometry.geom, self.gpu_geometry.det,
+                self.rng_states.next(), self.mesh,
+                nchannels=self.gpu_geometry.nchannels,
+                max_steps=max_steps, nevents=len(batch_events))
+            out_state = photon_ops.unsort_photons(out_state)
+            gpu_photons.state = {k: v[:n] for k, v in out_state.items()}
+            tracking = None
+        else:
+            tracking = gpu_photons.propagate(
+                self.gpu_geometry, self.rng_states, max_steps=max_steps,
+                track=self.photon_tracking, mesh=self.mesh)
 
         aborted = (np.asarray(gpu_photons.state['flags'])
                    & event.NAN_ABORT) != 0
@@ -98,7 +123,6 @@ class Simulation(object):
         if keep_photons_end:
             batch_photons_end = gpu_photons.get()
 
-        is_detector = hasattr(self.detector, 'num_channels')
         if is_detector and (keep_hits or keep_flat_hits):
             batch_hits = gpu_photons.get_flat_hits(self.gpu_geometry)
 
@@ -132,16 +156,24 @@ class Simulation(object):
                 if keep_flat_hits:
                     batch_ev.flat_hits = ev_hits
             if is_detector and run_daq:
-                # DAQ must run per event (channels are per-event)
-                sub = gpu.GPUPhotons.__new__(gpu.GPUPhotons)
-                sub.state = {k: v[start:end]
-                             for k, v in gpu_photons.state.items()}
-                sub.true_nphotons = end - start
-                sub.stride = end - start
-                sub.ncopies = 1
-                self.gpu_daq.begin_acquire()
-                self.gpu_daq.acquire(sub, self.rng_states)
-                batch_ev.channels = self.gpu_daq.end_acquire().get()
+                if batch_channels is not None:
+                    # per-event block of the sharded megabatch DAQ
+                    nch = self.gpu_geometry.nchannels
+                    sl = slice(i * nch, (i + 1) * nch)
+                    batch_ev.channels = gpu.GPUChannels(
+                        batch_channels['t'][sl], batch_channels['q'][sl],
+                        batch_channels['flags'][sl]).get()
+                else:
+                    # DAQ must run per event (channels are per-event)
+                    sub = gpu.GPUPhotons.__new__(gpu.GPUPhotons)
+                    sub.state = {k: v[start:end]
+                                 for k, v in gpu_photons.state.items()}
+                    sub.true_nphotons = end - start
+                    sub.stride = end - start
+                    sub.ncopies = 1
+                    self.gpu_daq.begin_acquire()
+                    self.gpu_daq.acquire(sub, self.rng_states)
+                    batch_ev.channels = self.gpu_daq.end_acquire().get()
             yield batch_ev
 
     def simulate(self, iterable, keep_photons_beg=False,

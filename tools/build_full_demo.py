@@ -1,18 +1,26 @@
 """Build and cache the full demo detector (~10k PMTs, ~42M triangles).
 
 Run once per machine; afterwards bench.py and chroma-sim pick the
-geometry + BVH + MBVH up from the cache (~/.chroma_tpu by default).
+packed tables up from the table cache (~/.chroma_tpu by default).
+With the round-3 instanced MBVH the pack needs only the flattened
+scene (10k PMT placements share ONE BLAS), so no multi-minute legacy
+BVH build and no 10 GB host-geometry pickle are required.
 """
 import logging
+import os
 import time
 
 logging.basicConfig(level=logging.INFO)
 
 
 def main():
-    from chroma_tpu import demo
-    from chroma_tpu.cache import Cache
-    from chroma_tpu.loader import create_geometry_from_obj
+    os.environ.setdefault('JAX_PLATFORMS', 'cpu')
+    import jax
+    try:
+        jax.config.update('jax_platforms', 'cpu')
+    except RuntimeError:
+        pass
+    from chroma_tpu import demo, gpu
 
     t0 = time.time()
     geo = demo.detector()
@@ -21,19 +29,13 @@ def main():
           % (time.time() - t0, geo.num_channels(),
              len(geo.mesh.triangles)))
 
-    Cache().save_geometry('demo_full', geo)
-
     t0 = time.time()
-    geo = create_geometry_from_obj(geo)
-    print('BVH built in %.0f s' % (time.time() - t0))
-
-    t0 = time.time()
-    import os
-    os.environ.setdefault('JAX_PLATFORMS', 'cpu')
-    from chroma_tpu.ops.geometry_pack import pack_geometry
-    geom = pack_geometry(geo)
-    print('MBVH packed in %.0f s: %d rows'
-          % (time.time() - t0, geom.mbvh_rows.shape[0]))
+    gg = gpu.GPUDetector(geo)
+    print('packed in %.0f s: %d MBVH rows (instanced=%s)'
+          % (time.time() - t0, gg.geom.mbvh_rows.shape[0],
+             gg.geom.mbvh_instanced))
+    gg.save_table_cache('full')
+    print('table cache "full" saved')
 
 
 if __name__ == '__main__':
