@@ -82,7 +82,7 @@ XFORM_OFF = IBOX_SCALE_OFF + 3              # entry: 9 x f32 R (row-major,
                                             # local->world) + 3 x f32 T
 TRI_BASE_OFF = XFORM_OFF + 12               # entry: global tri id offset
 assert TRI_BASE_OFF + 1 <= ROW_WIDTH
-LAYOUT_VERSION = 6
+LAYOUT_VERSION = 7
 # the walker's (NMASK_WORDS, 32) bitmask reshapes require a whole
 # number of 32-bit mask words (CHROMA_TPU_BRANCH is env-overridable)
 assert BRANCH >= 32 and BRANCH % 32 == 0, \
@@ -217,7 +217,7 @@ def _write_f32(rows, dst, off, values):
 
 
 def _emit_cluster_rows(rows, cdst, fc0, nc0, tv_all, tri_order,
-                       material_codes, frame_local):
+                       material_codes, frame_local, tri_id_offset=0):
     """Fill cluster rows ``cdst`` from leaf grouping (fc0, nc0)."""
     nclusters = len(fc0)
     kind = np.uint32(KIND_CLUSTER | (KIND_LOCAL if frame_local else 0))
@@ -254,7 +254,8 @@ def _emit_cluster_rows(rows, cdst, fc0, nc0, tv_all, tri_order,
          QVERT_OFF + np.arange(9 * QVERT_WORDS_PER_COMP)[None, :]] = \
         packed.transpose(0, 2, 1).reshape(nclusters, -1)
 
-    rows[dst_row, TRI_ID_OFF + slot] = tri_ids.astype(np.uint32)
+    rows[dst_row, TRI_ID_OFF + slot] = \
+        (tri_ids + tri_id_offset).astype(np.uint32)
     rows[dst_row, MAT_OFF + slot] = material_codes[tri_ids]
 
 
@@ -286,12 +287,14 @@ def _emit_internal_rows(rows, dst, fc, nc, child_base, child_lo, child_hi,
     _write_f32(rows, dst, IBOX_SCALE_OFF, box_scale)
 
 
-def _build_rows(mesh, material_codes, target_degree, frame_local=False):
+def _build_rows(mesh, material_codes, target_degree, frame_local=False,
+                tri_id_offset=0):
     """Build the packed row block for one mesh (root at row 0).
 
-    Returns (world_coords, rows, nblocks, nlayers, ntris).  Triangle
-    ids in cluster rows are LOCAL to ``mesh`` (callers embedding the
-    block under an instance entry add a per-instance base).
+    Returns a dict: wc (grid WorldCoords), rows, nlayers, ntris,
+    row_lo/row_hi ((R,3) u32 per-row AABBs in grid coords).  Cluster
+    triangle ids are ``tri_id_offset`` + local index (instance entries
+    instead carry the offset at traversal time, so BLAS blocks pass 0).
     """
     tv_all = mesh.vertices[mesh.triangles].astype(np.float32)  # (T,3,3)
     ntris = len(mesh.triangles)
@@ -329,11 +332,15 @@ def _build_rows(mesh, material_codes, target_degree, frame_local=False):
     assert running == nblocks
 
     rows = np.zeros((nblocks + nclusters, ROW_WIDTH), dtype=np.uint32)
+    row_lo = np.zeros((nblocks + nclusters, 3), dtype=np.uint32)
+    row_hi = np.zeros((nblocks + nclusters, 3), dtype=np.uint32)
 
     fc0, nc0 = groupings[0]
     cdst = id_base[0] + np.arange(nclusters)
     _emit_cluster_rows(rows, cdst, fc0, nc0, tv_all, tri_order,
-                       material_codes, frame_local)
+                       material_codes, frame_local, tri_id_offset)
+    row_lo[cdst] = layer_lo[0]
+    row_hi[cdst] = layer_hi[0]
 
     for k in range(1, nlayers):
         fc, nc = groupings[k]
@@ -343,8 +350,11 @@ def _build_rows(mesh, material_codes, target_degree, frame_local=False):
                             world_coords.world_origin,
                             np.repeat(world_coords.world_scale, 3),
                             frame_local)
+        row_lo[dst] = layer_lo[k]
+        row_hi[dst] = layer_hi[k]
 
-    return world_coords, rows, nblocks, nlayers, ntris
+    return dict(wc=world_coords, rows=rows, nlayers=nlayers,
+                ntris=ntris, row_lo=row_lo, row_hi=row_hi)
 
 
 def build_mbvh(mesh, material_codes=None, target_degree=TARGET_DEGREE):
@@ -353,9 +363,9 @@ def build_mbvh(mesh, material_codes=None, target_degree=TARGET_DEGREE):
     ``material_codes``: optional (T,) uint32 per-triangle packed
     material/surface codes baked into cluster rows (zeros if omitted).
     """
-    world_coords, rows, nblocks, nlayers, ntris = _build_rows(
-        mesh, material_codes, target_degree)
-    return MBVH(world_coords, rows, nblocks, nlayers, ntris)
+    b = _build_rows(mesh, material_codes, target_degree)
+    return MBVH(b['wc'], b['rows'], len(b['rows']), b['nlayers'],
+                b['ntris'])
 
 
 def _orthonormal(rot):
@@ -365,35 +375,52 @@ def _orthonormal(rot):
             and np.linalg.det(rot) > 0.0)
 
 
-def instance_groups(geometry, material_codes):
-    """Group the placed solids of ``geometry`` by shared (mesh,
-    material codes): returns (inst_blas (P,), blas list of
-    (mesh, codes, tri_count), tri_base (P,), usable: bool).
+def _classify_placements(geometry, material_codes):
+    """Split the placements of ``geometry`` into instanced groups and
+    inline placements.
 
-    ``usable`` is False when any placement has a non-rigid rotation
-    or there is nothing to instance (fewer than 2 placements).
+    A group of >= 2 rigid placements sharing one (mesh, material
+    codes) solid is worth a shared BLAS + per-placement entry rows.
+    Everything else (single placements like the detector envelope,
+    or non-rigid transforms) is built inline in WORLD frame: its
+    subtrees join the TLAS directly with tight per-subtree AABBs, so
+    the walker never commits to a whole-envelope entry whose AABB
+    contains every other solid.
+
+    Returns (inst_groups, inline_ids, nt): inst_groups is a list of
+    (mesh, codes, placement-id array); inline_ids the remaining
+    placement ids; nt the per-placement global triangle-id offsets.
     """
     solids = geometry.solids
-    tri_counts = [len(s.mesh.triangles) for s in solids]
+    tri_counts = np.array([len(s.mesh.triangles) for s in solids],
+                          dtype=np.int64)
     nt = np.concatenate([[0], np.cumsum(tri_counts)]).astype(np.int64)
-    if len(solids) < 2:
-        return None, None, None, False
-    for rot in geometry.solid_rotations:
-        if not _orthonormal(np.asarray(rot, dtype=np.float64)):
-            return None, None, None, False
+    rot = np.asarray(geometry.solid_rotations, dtype=np.float64)
 
-    groups = {}
-    blas_list = []
-    inst_blas = np.empty(len(solids), dtype=np.int64)
+    groups, order = {}, []
     for i, s in enumerate(solids):
+        if tri_counts[i] == 0:
+            continue
         codes = material_codes[nt[i]:nt[i + 1]]
-        dig = _md5(np.ascontiguousarray(codes)).hexdigest()
-        key = (id(s.mesh), dig)
+        key = (id(s.mesh),
+               _md5(np.ascontiguousarray(codes)).hexdigest())
         if key not in groups:
-            groups[key] = len(blas_list)
-            blas_list.append((s.mesh, codes, tri_counts[i]))
-        inst_blas[i] = groups[key]
-    return inst_blas, blas_list, nt[:-1], True
+            groups[key] = []
+            order.append(key)
+        groups[key].append(i)
+
+    inst_groups, inline_ids = [], []
+    for key in order:
+        plist = groups[key]
+        rigid = all(_orthonormal(rot[i]) for i in plist)
+        if len(plist) >= 2 and rigid:
+            i0 = plist[0]
+            inst_groups.append((solids[i0].mesh,
+                                material_codes[nt[i0]:nt[i0 + 1]],
+                                np.array(plist, dtype=np.int64)))
+        else:
+            inline_ids.extend(plist)
+    return inst_groups, inline_ids, nt
 
 
 def instancing_gain(geometry):
@@ -410,68 +437,139 @@ def instancing_gain(geometry):
     return gain
 
 
+# inline-block subtree patch expansion: descend from the block root
+# until at least PATCH_MIN tight subtrees join the TLAS (stop early if
+# the next level would exceed PATCH_MAX candidates).  Patches break
+# the whole-envelope AABB (which contains every other solid and would
+# otherwise always be popped first at entry distance ~0) into chunks
+# with honest entry distances.
+PATCH_MIN = 192
+PATCH_MAX = 8192
+
+
+def _expand_patches(blk):
+    """(row ids local to ``blk``, levels-below-leaf per id array)."""
+    rows = blk['rows']
+    ids = np.array([0], dtype=np.int64)
+    below = np.array([max(blk['nlayers'] - 1, 0)], dtype=np.int64)
+    while len(ids) < PATCH_MIN:
+        is_int = (rows[ids, HDR_KIND] & KIND_CLUSTER) == 0
+        if not is_int.any():
+            break
+        base = rows[ids, HDR_BASE].astype(np.int64)
+        cnt = (rows[ids, HDR_KIND] >> 8).astype(np.int64)
+        cnt = np.where(is_int, cnt, 1)
+        if cnt.sum() > PATCH_MAX:
+            break
+        nxt_ids = np.empty(cnt.sum(), dtype=np.int64)
+        nxt_below = np.empty(cnt.sum(), dtype=np.int64)
+        off = np.concatenate([[0], np.cumsum(cnt)])
+        for j in range(len(ids)):
+            if is_int[j]:
+                nxt_ids[off[j]:off[j + 1]] = \
+                    base[j] + np.arange(cnt[j])
+                nxt_below[off[j]:off[j + 1]] = below[j] - 1
+            else:
+                nxt_ids[off[j]] = ids[j]
+                nxt_below[off[j]] = below[j]
+        ids, below = nxt_ids, nxt_below
+    return ids, below
+
+
 def build_mbvh_instanced(geometry, material_codes,
                          target_degree=TARGET_DEGREE):
-    """Build a two-level (TLAS over instances / shared BLAS per unique
-    solid) MBVH for ``geometry`` (a flattened Geometry/Detector).
+    """Build a two-level MBVH for ``geometry`` (a flattened
+    Geometry/Detector): a TLAS whose leaf level mixes
 
-    Returns None when the geometry is not instanceable (non-rigid
-    rotations, or fewer than two placements).
+      * instance-entry rows — one per placement of a multi-placement
+        rigid solid, all sharing that solid's BLAS block (built once
+        in the solid's local frame, rays transformed at entry pop);
+      * world-frame subtree patches of every remaining placement
+        (single placements and non-rigid transforms), built inline
+        with global triangle ids — see _expand_patches.
+
+    Returns None when nothing is instanceable (no multi-placement
+    rigid group); callers fall back to the flat build, which is
+    equivalent in that case.
     """
+    from types import SimpleNamespace
     from chroma_tpu.bvh.bvh import WorldCoords
     from chroma_tpu.bvh.build import morton_codes_3d
     from chroma_tpu import native
 
-    inst_blas, blas_list, tri_base, ok = instance_groups(
+    material_codes = np.asarray(material_codes, dtype=np.uint32)
+    inst_groups, inline_ids, nt = _classify_placements(
         geometry, material_codes)
-    if not ok:
+    if not inst_groups:
         return None
-    rotations = np.asarray(geometry.solid_rotations, dtype=np.float32)
-    displacements = np.asarray(geometry.solid_displacements,
-                               dtype=np.float32)
+    rot_all = np.asarray(geometry.solid_rotations, dtype=np.float64)
+    disp_all = np.asarray(geometry.solid_displacements,
+                          dtype=np.float64)
 
-    # drop empty placements
-    keep = np.array([len(m.triangles) > 0 for m, _, _ in blas_list])[
-        inst_blas]
-    inst_blas = inst_blas[keep]
-    rotations = rotations[keep]
-    displacements = displacements[keep]
-    tri_base = tri_base[keep]
-    ninst = len(inst_blas)
-    if ninst < 2:
+    # ---- shared BLAS per instanced group (local frame, local tri
+    # ids: the entry row carries the per-placement global base) ------
+    blas = []
+    for mesh, codes, plist in inst_groups:
+        b = _build_rows(mesh, codes, target_degree, frame_local=True)
+        b['bounds'] = (mesh.vertices.min(axis=0),
+                       mesh.vertices.max(axis=0))
+        blas.append(b)
+
+    # ---- world-frame inline block per remaining placement ----------
+    inline = []
+    for i in inline_ids:
+        s = geometry.solids[i]
+        wv = s.mesh.vertices @ rot_all[i].T + disp_all[i]
+        wmesh = SimpleNamespace(vertices=wv.astype(np.float32),
+                                triangles=s.mesh.triangles)
+        b = _build_rows(wmesh, material_codes[nt[i]:nt[i + 1]],
+                        target_degree, tri_id_offset=int(nt[i]))
+        b['patch_ids'], b['patch_below'] = _expand_patches(b)
+        inline.append(b)
+
+    # ---- leaf-level candidates: (world AABB, content source) -------
+    ninst = int(sum(len(p) for _, _, p in inst_groups))
+    npatch = int(sum(len(b['patch_ids']) for b in inline))
+    ncand = ninst + npatch
+    if ncand < 2:
         return None
+    wlo = np.empty((ncand, 3), dtype=np.float64)
+    whi = np.empty((ncand, 3), dtype=np.float64)
 
-    # ---- per-unique-solid BLAS blocks ------------------------------
-    blocks = []
-    for mesh, codes, _cnt in blas_list:
-        if len(mesh.triangles) == 0:
-            blocks.append(None)
-            continue
-        wc, rows, nblocks, nlayers, ntris = _build_rows(
-            mesh, codes, target_degree, frame_local=True)
-        lo, hi = mesh.vertices.min(axis=0), mesh.vertices.max(axis=0)
-        blocks.append(dict(wc=wc, rows=rows, nlayers=nlayers,
-                           bounds=(lo, hi)))
-
-    # ---- instance world AABBs --------------------------------------
-    wlo = np.empty((ninst, 3), dtype=np.float64)
-    whi = np.empty((ninst, 3), dtype=np.float64)
-    for k, blk in enumerate(blocks):
-        if blk is None:
-            continue
-        sel = np.flatnonzero(inst_blas == k)
-        if len(sel) == 0:
-            continue
-        lo, hi = blk['bounds']
+    # entries first (group-major), then patches (block-major)
+    ent_group = np.empty(ninst, dtype=np.int64)   # candidate -> group
+    ent_place = np.empty(ninst, dtype=np.int64)   # candidate -> placement
+    pos = 0
+    for k, (mesh, codes, plist) in enumerate(inst_groups):
+        sel = slice(pos, pos + len(plist))
+        lo, hi = blas[k]['bounds']
         corners = np.stack(np.meshgrid([lo[0], hi[0]], [lo[1], hi[1]],
                                        [lo[2], hi[2]], indexing='ij'),
-                           axis=-1).reshape(8, 3)        # (8,3)
+                           axis=-1).reshape(8, 3)
         # world = R @ local + T
-        wc8 = np.einsum('nij,kj->nki', rotations[sel].astype(np.float64),
-                        corners) + displacements[sel][:, None, :]
+        wc8 = np.einsum('nij,kj->nki', rot_all[plist], corners) \
+            + disp_all[plist][:, None, :]
         wlo[sel] = wc8.min(axis=1)
         whi[sel] = wc8.max(axis=1)
+        ent_group[sel] = k
+        ent_place[sel] = plist
+        pos += len(plist)
+    patch_blk = np.empty(npatch, dtype=np.int64)  # candidate -> block
+    patch_row = np.empty(npatch, dtype=np.int64)  # candidate -> local row
+    ppos = 0
+    for bi, b in enumerate(inline):
+        ids = b['patch_ids']
+        sel = slice(ppos, ppos + len(ids))
+        wc = b['wc']
+        wlo[ninst + ppos:ninst + ppos + len(ids)] = \
+            wc.world_origin + b['row_lo'][ids] * wc.world_scale
+        whi[ninst + ppos:ninst + ppos + len(ids)] = \
+            wc.world_origin + b['row_hi'][ids] * wc.world_scale
+        patch_blk[sel] = bi
+        patch_row[sel] = ids
+        ppos += len(ids)
 
+    # ---- global TLAS grid + Morton order over candidates -----------
     world_origin = wlo.min(axis=0).astype(np.float32)
     world_scale = float(max((whi.max(axis=0)
                              - world_origin).max() / (2 ** 16 - 2),
@@ -486,61 +584,54 @@ def build_mbvh_instanced(geometry, material_codes,
     q_lo = quant(wlo)
     q_lo[q_lo > 0] -= 1
     q_hi = quant(whi) + 1
-    centers = quant((wlo + whi) * 0.5)
-    morton = morton_codes_3d(centers)
+    morton = morton_codes_3d(quant((wlo + whi) * 0.5))
     order = native.radix_argsort_u64(morton)
     if order is None:
         order = np.argsort(morton, kind='stable')
-    # sorted-instance arrays (entry rows are laid out in this order)
     q_lo, q_hi, morton = q_lo[order], q_hi[order], morton[order]
-    inst_blas = inst_blas[order]
-    rotations = rotations[order]
-    displacements = displacements[order]
-    tri_base = tri_base[order]
 
     groupings, layer_lo, layer_hi = _grouping_rounds(
-        q_lo, q_hi, morton, ninst, target_degree)
+        q_lo, q_hi, morton, ncand, target_degree)
     nlayers_t = len(groupings)
     layer_sizes = [len(g[0]) for g in groupings]
     n_tlas = sum(layer_sizes)
 
-    # row ids: [TLAS internals root-first] [entries] [BLAS blocks]
+    # row ids: [TLAS internals root-first] [leaf-level candidates in
+    # Morton order] [BLAS blocks] [inline blocks]
     id_base = {}
     running = 0
     for k in range(nlayers_t - 1, -1, -1):
         id_base[k] = running
         running += layer_sizes[k]
     assert running == n_tlas
-    entries_base = n_tlas
+    leaf_base = n_tlas
     blas_base = []
-    running = n_tlas + ninst
-    for blk in blocks:
-        blas_base.append(running if blk is not None else -1)
-        running += len(blk['rows']) if blk is not None else 0
+    running = n_tlas + ncand
+    for b in blas:
+        blas_base.append(running)
+        running += len(b['rows'])
+    inline_base = []
+    for b in inline:
+        inline_base.append(running)
+        running += len(b['rows'])
     total_rows = running
 
     rows = np.zeros((total_rows, ROW_WIDTH), dtype=np.uint32)
 
-    # ---- BLAS blocks (offset their internal child pointers) ---------
-    for blk, base in zip(blocks, blas_base):
-        if blk is None:
-            continue
-        b = blk['rows'].copy()
-        internal = (b[:, HDR_KIND] & KIND_CLUSTER) == 0
-        b[internal, HDR_BASE] += np.uint32(base)
-        rows[base:base + len(b)] = b
+    # ---- BLAS + inline blocks (offset internal child pointers) -----
+    for b, base in zip(blas + inline, blas_base + inline_base):
+        blk = b['rows'].copy()
+        internal = (blk[:, HDR_KIND] & KIND_CLUSTER) == 0
+        blk[internal, HDR_BASE] += np.uint32(base)
+        rows[base:base + len(blk)] = blk
 
-    # ---- entry rows -------------------------------------------------
-    for k, blk in enumerate(blocks):
-        if blk is None:
-            continue
-        sel = np.flatnonzero(inst_blas == k)
-        if len(sel) == 0:
-            continue
-        dst = entries_base + sel
+    # ---- leaf-level rows (built in candidate order, then permuted) -
+    leaf_rows = np.zeros((ncand, ROW_WIDTH), dtype=np.uint32)
+    for k, b in enumerate(blas):
+        sel = np.flatnonzero(ent_group == k)
         root = rows[blas_base[k]]          # BLAS root (already offset)
         tmpl = np.zeros(ROW_WIDTH, dtype=np.uint32)
-        if blk['nlayers'] > 1:
+        if b['nlayers'] > 1:
             # embed the internal root: its children become ours
             tmpl[HDR_KIND] = (root[HDR_KIND]
                               & np.uint32(0xFFFFFF00)) \
@@ -553,8 +644,8 @@ def build_mbvh_instanced(geometry, material_codes,
             tmpl[HDR_KIND] = np.uint32(KIND_ENTRY | KIND_LOCAL
                                        | (1 << 8))
             tmpl[HDR_BASE] = np.uint32(blas_base[k])
-            lo, hi = blk['bounds']
-            wc = blk['wc']
+            lo, hi = b['bounds']
+            wc = b['wc']
             qlo = np.clip((lo - wc.world_origin) / wc.world_scale,
                           0, 2 ** 16 - 2).astype(np.uint32)
             qlo[qlo > 0] -= 1
@@ -563,23 +654,31 @@ def build_mbvh_instanced(geometry, material_codes,
             box = np.full((3, BRANCH), 0xFFFF, dtype=np.uint32)
             box[:, 0] = qlo | (qhi << 16)
             tmpl[BOX_OFF:BOX_OFF + 3 * BRANCH] = box.reshape(-1)
-        rows[dst] = tmpl[None, :]
-        _write_f32(rows, dst, IBOX_ORIGIN_OFF, blk['wc'].world_origin)
-        _write_f32(rows, dst, IBOX_SCALE_OFF,
-                   np.repeat(blk['wc'].world_scale, 3))
-        xf = np.concatenate([rotations[sel].reshape(-1, 9),
-                             displacements[sel]], axis=1) \
+        leaf_rows[sel] = tmpl[None, :]
+        _write_f32(leaf_rows, sel, IBOX_ORIGIN_OFF, b['wc'].world_origin)
+        _write_f32(leaf_rows, sel, IBOX_SCALE_OFF,
+                   np.repeat(b['wc'].world_scale, 3))
+        plist = ent_place[sel]
+        xf = np.concatenate([rot_all[plist].reshape(-1, 9),
+                             disp_all[plist]], axis=1) \
             .astype(np.float32)                          # (n,12)
-        rows[dst[:, None], XFORM_OFF + np.arange(12)[None, :]] = \
+        leaf_rows[sel[:, None], XFORM_OFF + np.arange(12)[None, :]] = \
             xf.view(np.uint32)
-        rows[dst, TRI_BASE_OFF] = tri_base[sel].astype(np.uint32)
+        leaf_rows[sel, TRI_BASE_OFF] = nt[plist].astype(np.uint32)
+    # patches: copies of the (already offset) inline block rows
+    if npatch:
+        leaf_rows[ninst:] = rows[
+            np.asarray(inline_base, dtype=np.int64)[patch_blk]
+            + patch_row]
 
-    # ---- TLAS internal rows -----------------------------------------
+    rows[leaf_base:leaf_base + ncand] = leaf_rows[order]
+
+    # ---- TLAS internal rows ----------------------------------------
     for k in range(nlayers_t):
         fc, nc = groupings[k]
         dst = id_base[k] + np.arange(len(fc))
         if k == 0:
-            child_base, child_lo, child_hi = entries_base, q_lo, q_hi
+            child_base, child_lo, child_hi = leaf_base, q_lo, q_hi
         else:
             child_base = id_base[k - 1]
             child_lo, child_hi = layer_lo[k - 1], layer_hi[k - 1]
@@ -589,10 +688,14 @@ def build_mbvh_instanced(geometry, material_codes,
                             frame_local=False)
 
     # depth = deepest level index + 1: TLAS internals occupy levels
-    # 0..nlayers_t-1, entries level nlayers_t, BLAS levels below the
-    # (embedded) root add max(blas nlayers - 1, 1) more
-    depth = nlayers_t + 1 + max(
-        max(b['nlayers'] - 1, 1) for b in blocks if b is not None)
-    ntris = int(sum(len(m.triangles) for m, _, _ in blas_list))
+    # 0..nlayers_t-1, leaf candidates level nlayers_t; below that,
+    # entries add max(blas nlayers - 1, 1) levels (the embedded BLAS
+    # root's subtree) and each patch its own levels-below count
+    below = [max(b['nlayers'] - 1, 1) for b in blas]
+    below += [int(b['patch_below'].max()) for b in inline
+              if len(b['patch_below'])]
+    depth = nlayers_t + 1 + max(below)
+    ntris = int(sum(len(m.triangles) for m, _, p in inst_groups)
+                + sum(b['ntris'] for b in inline))
     return MBVH(wc_global, rows, total_rows, depth, ntris,
                 instanced=True)

@@ -209,7 +209,7 @@ def propagate_fused(state, geom, key, max_steps=100, use_weights=False,
         step=jnp.zeros(w, jnp.int32),
         masks=jnp.zeros((w, depth, NMASK_WORDS), jnp.uint32),
         bases=jnp.zeros((w, depth), jnp.uint32),
-        tcodes=jnp.full((w, depth, mbvh.BRANCH), 255, jnp.uint8),
+        tcodes=jnp.full((w, depth, mbvh.BRANCH), 65535, jnp.uint16),
         best_tri=jnp.full(w, -1, jnp.int32),
         min_dist=jnp.full(w, jnp.inf, jnp.float32),
         best_norm=jnp.zeros((w, 3), jnp.float32),

@@ -8,7 +8,7 @@ c-th pending child lives at base + c).  Every iteration:
 
   1. find the deepest level with pending work (predicated scan over a
      static depth — no ascend iterations, no stacks, no scatters);
-  2. pop the NEAREST pending child (each pushed child carries an 8-bit
+  2. pop the NEAREST pending child (each pushed child carries a 16-bit
      quantized entry distance; stale children beyond the current best
      hit are lazily pruned) and gather its row — the ONLY gather of
      the step, everything else is VPU;
@@ -61,15 +61,20 @@ CASCADE_MIN_N = 2048          # below this, one plain loop is cheaper
 
 
 def tquant_scale(geom):
-    """Entry-distance quantization: 255 / world-box diagonal."""
-    return 255.0 / (geom.world_scale * 65535.0 * 1.7320509)
+    """Entry-distance quantization: 65535 / world-box diagonal.
+
+    16-bit codes (round 3; was 8-bit) resolve ~0.3 m at the full-demo
+    world size instead of ~200 mm x 400 — at 8 bits, neighboring TLAS
+    leaves shared a code and nearest-first ordering/pruning degraded
+    to arrival order."""
+    return 65535.0 / (geom.world_scale * 65535.0 * 1.7320509)
 
 
 def _walk_body(geom, depth, do_prune=True):
     """The per-iteration walker body over a traversal state dict.
 
-    Ordered + self-pruning (round 2): every pushed child carries an
-    8-bit quantized entry distance (``tcodes``).  Each iteration (a)
+    Ordered + self-pruning (round 2): every pushed child carries a
+    16-bit quantized entry distance (``tcodes``).  Each iteration (a)
     lazily kills pending children whose entry distance now exceeds the
     best hit — siblings pushed before the hit was found would
     otherwise still be visited — and (b) pops the true nearest pending
@@ -85,7 +90,7 @@ def _walk_body(geom, depth, do_prune=True):
 
     def body(s):
         masks, bases = s['masks'], s['bases']   # (n, depth, NW), (n, depth)
-        tcodes = s['tcodes']                    # (n, depth, BRANCH) u8
+        tcodes = s['tcodes']                    # (n, depth, BRANCH) u16
         direction = s['dir']
         origin = s['org']
         inv_dir = s['inv_dir']
@@ -97,8 +102,9 @@ def _walk_body(geom, depth, do_prune=True):
             # distance exceeds the current best hit can never improve
             # it (alternate iterations skip this — the prune pays for
             # itself at half cadence)
-            mdc = jnp.clip(jnp.floor(min_dist * sq) + 1.0, 0.0, 255.0)
-            keep = tcodes <= mdc[:, None, None].astype(jnp.uint8)
+            mdc = jnp.clip(jnp.floor(min_dist * sq) + 1.0, 0.0,
+                           65535.0)
+            keep = tcodes <= mdc[:, None, None].astype(jnp.uint16)
             keep_bits = jnp.sum(
                 jnp.where(
                     keep.reshape(keep.shape[0], depth, NMASK_WORDS, 32),
@@ -121,7 +127,7 @@ def _walk_body(geom, depth, do_prune=True):
         # pop the nearest pending child of the level
         bit_set = ((mask_l[:, :, None] >> iota32[None, None, :])
                    & jnp.uint32(1)).reshape(-1, BRANCH) != 0
-        tl = jnp.where(bit_set, tc_l, 300)
+        tl = jnp.where(bit_set, tc_l, 1 << 17)
         tl_min = jnp.min(tl, axis=1)
         is_min = tl == tl_min[:, None]
         oh_slot_pop = is_min & (jnp.cumsum(is_min, axis=1) == 1)
@@ -312,8 +318,8 @@ def _walk_body(geom, depth, do_prune=True):
         masks = jnp.where(sel[:, :, None], hitmask[:, None, :], masks)
         bases = jnp.where(sel, row[:, HDR_BASE][:, None], bases)
         newcodes = jnp.where(
-            b_ok, jnp.clip(jnp.floor(tmin * sq), 0.0, 255.0),
-            255.0).astype(jnp.uint8)
+            b_ok, jnp.clip(jnp.floor(tmin * sq), 0.0, 65535.0),
+            65535.0).astype(jnp.uint16)
         tcodes = jnp.where(sel[:, :, None], newcodes[:, None, :], tcodes)
 
         out = dict(s)
@@ -344,7 +350,7 @@ def root_seed(geom, depth, inv_dir, noid, active):
     n = inv_dir.shape[0]
     masks = jnp.zeros((n, depth, NMASK_WORDS), jnp.uint32)
     bases = jnp.zeros((n, depth), jnp.uint32)
-    tcodes = jnp.full((n, depth, BRANCH), 255, jnp.uint8)
+    tcodes = jnp.full((n, depth, BRANCH), 65535, jnp.uint16)
     if geom.mbvh_depth < 2 or depth < 2:
         return (masks.at[:, 0, 0].set(active.astype(jnp.uint32)),
                 bases, tcodes.at[:, 0, 0].set(0))
@@ -379,8 +385,9 @@ def root_seed(geom, depth, inv_dir, noid, active):
     masks = masks.at[:, 1, :].set(hitmask)
     bases = bases.at[:, 1].set(root[HDR_BASE])
     sq = tquant_scale(geom)
-    codes = jnp.where(b_ok, jnp.clip(jnp.floor(tmin * sq), 0.0, 255.0),
-                      255.0).astype(jnp.uint8)
+    codes = jnp.where(b_ok,
+                      jnp.clip(jnp.floor(tmin * sq), 0.0, 65535.0),
+                      65535.0).astype(jnp.uint16)
     tcodes = tcodes.at[:, 1, :].set(codes)
     return masks, bases, tcodes
 

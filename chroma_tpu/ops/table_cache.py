@@ -92,7 +92,6 @@ def load_tables(name):
         det = load('det', DetectorTables) if meta.get('has_det') else None
     except (FileNotFoundError, TypeError):
         return None
-    from chroma_tpu.bvh.mbvh import ROW_WIDTH
     if geom.mbvh_rows.shape[1] != ROW_WIDTH:
         return None      # stale MBVH layout
     return geom, det
