@@ -663,26 +663,26 @@ def physics_update(state, res, geom, u, flags, active, nan_mask,
     )
 
 
-def _propagate_complex(geom, state, s_idx, wl, normal, n1r, n3r, weight, u,
-                       use_weights, is_cpx):
-    """Thin-film PMT optical model with complex refractive index
-    (reference: chroma/cuda/photon.h:400 propagate_complex, adapted
-    from the RAT PMT optical model)."""
-    detect = _interp(geom, geom.surf_detect, s_idx, wl)
-    reflect_diffuse = _interp(geom, geom.surf_reflect_diffuse, s_idx, wl)
-    n2_eta = _interp(geom, geom.surf_eta, s_idx, wl)
-    n2_k = _interp(geom, geom.surf_k, s_idx, wl)
-    thickness = geom.surf_thickness[s_idx]
-    transmissive = geom.surf_transmissive[s_idx] != 0
+def thin_film_rta(n1r, n2_eta, n2_k, n3r, cos_t1, wl, thickness):
+    """Three-layer thin-film reflect/transmit probabilities.
 
+    Pure optics of the PMT window model (reference:
+    chroma/cuda/photon.h:400): layer 1 (real index ``n1r``) /
+    absorbing film (complex ``n2_eta + i n2_k``, ``thickness`` mm) /
+    layer 3 (real ``n3r``), photon incident from layer 1 at
+    ``cos_t1`` with wavelength ``wl`` nm.  Returns
+    (s_r, s_t, p_r, p_t, n_r, n_t): R and T for s-, p-polarization
+    and for normal incidence (the QE normalization).  Absorption in
+    the film is 1 - R - T.  Validated against an independent
+    complex128 transfer-matrix implementation in
+    tests/test_propagation.py::test_thin_film_transfer_matrix.
+    """
     j = jnp.complex64(1j)
     one = jnp.complex64(1.0)
     n1 = n1r.astype(jnp.complex64)
     n2 = n2_eta + j * n2_k
     n3 = n3r.astype(jnp.complex64)
 
-    d = state['dir']
-    cos_t1 = jnp.abs(dot(d, normal))
     theta = jnp.arccos(jnp.clip(cos_t1, -1.0, 1.0))
     cos1 = jnp.cos(theta).astype(jnp.complex64)
     sin1 = jnp.sin(theta).astype(jnp.complex64)
@@ -728,6 +728,26 @@ def _propagate_complex(geom, state, s_idx, wl, normal, n1r, n3r, weight, u,
     n_r, n_t = rt((n1 - n2) / (n1 + n2), (n2 - n3) / (n2 + n3),
                   2.0 * n1 / (n1 + n2), 2.0 * n2 / (n2 + n3),
                   n3 / n1, n2_eta, n2_k)
+    return s_r, s_t, p_r, p_t, n_r, n_t
+
+
+def _propagate_complex(geom, state, s_idx, wl, normal, n1r, n3r, weight, u,
+                       use_weights, is_cpx):
+    """Thin-film PMT optical model with complex refractive index
+    (reference: chroma/cuda/photon.h:400 propagate_complex, adapted
+    from the RAT PMT optical model)."""
+    detect = _interp(geom, geom.surf_detect, s_idx, wl)
+    reflect_diffuse = _interp(geom, geom.surf_reflect_diffuse, s_idx, wl)
+    n2_eta = _interp(geom, geom.surf_eta, s_idx, wl)
+    n2_k = _interp(geom, geom.surf_k, s_idx, wl)
+    thickness = geom.surf_thickness[s_idx]
+    transmissive = geom.surf_transmissive[s_idx] != 0
+
+    d = state['dir']
+    cos_t1 = jnp.abs(dot(d, normal))
+    theta = jnp.arccos(jnp.clip(cos_t1, -1.0, 1.0))
+    s_r, s_t, p_r, p_t, n_r, n_t = thin_film_rta(
+        n1r, n2_eta, n2_k, n3r, cos_t1, wl, thickness)
 
     # s-polarization fraction, same construction as propagate_at_boundary
     ipn = cross(d, normal)

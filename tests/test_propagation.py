@@ -301,3 +301,86 @@ def test_fused_matches_compacting_statistically(water_box):
         err = 3 * np.sqrt(max(rc * (1 - rc), 1e-4) / n) * 2
         assert abs(rc - rf) < err + 0.01, (flag, rc, rf)
     assert abs(pc.t.mean() - pf.t.mean()) < 0.1 * pc.t.std() + 1e-3
+
+
+def test_thin_film_transfer_matrix():
+    """Validate the thin-film PMT window optics (ops/propagate.py
+    thin_film_rta, reference: chroma/cuda/photon.h:400) against an
+    independent complex128 solution of the three-layer boundary-value
+    problem: match plane waves at both film interfaces and compare
+    the physical R/T (power) coefficients for s and p polarization.
+    Covers oblique incidence, absorbing films, interference
+    thickness ranges, and total internal reflection at the exit."""
+    from chroma_tpu.ops.propagate import thin_film_rta
+
+    def bvp_rt(n1, n2, n3, cos1, wl_nm, d_nm):
+        """(Rs, Ts, Rp, Tp) from first principles, complex128."""
+        n1, n2, n3 = complex(n1), complex(n2), complex(n3)
+        k0 = 2.0 * np.pi / wl_nm
+        sin1 = np.sqrt(1.0 - cos1 ** 2)
+        kx = k0 * (n1 * sin1).real
+        kz = []
+        for n in (n1, n2, n3):
+            k2 = (k0 * n) ** 2 - kx ** 2
+            kzj = np.sqrt(k2 + 0j)
+            if kzj.imag < 0:        # decaying branch
+                kzj = -kzj
+            kz.append(kzj)
+        k1, k2z, k3 = kz
+        out = []
+        for pol in ('s', 'p'):
+            # s: continuity of E, dE/dz; p (H formulation): continuity
+            # of H, (1/n^2) dH/dz
+            w = (1.0, 1.0, 1.0) if pol == 's' else \
+                (1.0 / n1 ** 2, 1.0 / n2 ** 2, 1.0 / n3 ** 2)
+            ph = np.exp(1j * k2z * d_nm)
+            # unknowns x = (r, A, B, t)
+            M = np.array([
+                [-1.0, 1.0, 1.0, 0.0],
+                [w[0] * k1, w[1] * k2z, -w[1] * k2z, 0.0],
+                [0.0, ph, 1.0 / ph, -1.0],
+                [0.0, w[1] * k2z * ph, -w[1] * k2z / ph, -w[2] * k3],
+            ], dtype=np.complex128)
+            b = np.array([1.0, w[0] * k1, 0.0, 0.0], np.complex128)
+            r, A, B, t = np.linalg.solve(M, b)
+            R = abs(r) ** 2
+            T = (w[2] * k3).real / (w[0] * k1).real * abs(t) ** 2
+            out.extend([R, T])
+        return out  # Rs, Ts, Rp, Tp
+
+    cases = []
+    for n1, n2, n3 in [(1.33, 2.7 + 1.5j, 1.49),
+                       (1.0, 1.5 + 0.1j, 1.33),
+                       (1.49, 3.5 + 0.5j, 1.0),   # exit TIR region
+                       (1.33, 1.9 + 0.0j, 1.33)]:  # lossless film
+        for cos1 in (1.0, 0.9, 0.6, 0.3, 0.1):
+            for wl in (300.0, 400.0, 600.0):
+                for d_nm in (10.0, 30.0, 120.0):
+                    cases.append((n1, n2, n3, cos1, wl, d_nm))
+
+    n1a = jnp.asarray([c[0] for c in cases], jnp.float32)
+    eta = jnp.asarray([c[1].real for c in cases], jnp.float32)
+    kk = jnp.asarray([c[1].imag for c in cases], jnp.float32)
+    n3a = jnp.asarray([c[2] for c in cases], jnp.float32)
+    cosa = jnp.asarray([c[3] for c in cases], jnp.float32)
+    wla = jnp.asarray([c[4] for c in cases], jnp.float32)
+    tha = jnp.asarray([c[5] * 1e-6 for c in cases], jnp.float32)  # nm->mm
+
+    s_r, s_t, p_r, p_t, n_r, n_t = thin_film_rta(
+        n1a, eta, kk, n3a, cosa, wla, tha)
+    got = np.stack([np.asarray(s_r), np.asarray(s_t),
+                    np.asarray(p_r), np.asarray(p_t)], axis=1)
+    want = np.array([bvp_rt(*c) for c in cases])
+
+    np.testing.assert_allclose(got, want, atol=2e-3, rtol=2e-3)
+    # R + T + A = 1 with A >= 0 (film absorbs, never amplifies)
+    absorb = 1.0 - got[:, 0] - got[:, 1]
+    assert absorb.min() > -2e-3
+    absorb_p = 1.0 - got[:, 2] - got[:, 3]
+    assert absorb_p.min() > -2e-3
+    # normal-incidence channel == the oblique channel at cos1 == 1
+    at_norm = np.isclose([c[3] for c in cases], 1.0)
+    np.testing.assert_allclose(np.asarray(n_r)[at_norm],
+                               got[at_norm, 0], atol=2e-3)
+    np.testing.assert_allclose(np.asarray(n_t)[at_norm],
+                               got[at_norm, 1], atol=2e-3)
