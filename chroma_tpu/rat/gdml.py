@@ -394,14 +394,36 @@ def create_material(matrix_map, material_xml):
     return material
 
 
+# Geant4's GDML writer emits enum *names*; RAT-exported GDML emits the
+# numeric values the reference parser expects (chroma/rat/gdml.py:215).
+# Accept both.
+_SURFACE_ENUMS = {
+    'model': {'glisur': 0, 'unified': 1, 'LUT': 2, 'DAVIS': 3,
+              'dichroic': 4},
+    'type': {'dielectric_metal': 0, 'dielectric_dielectric': 1,
+             'dielectric_LUT': 2, 'dielectric_LUTDAVIS': 3,
+             'dichroic': 4, 'firsov': 5, 'x_ray': 6},
+    'finish': {'polished': 0, 'polishedfrontpainted': 1,
+               'polishedbackpainted': 2, 'ground': 3,
+               'groundfrontpainted': 4, 'groundbackpainted': 5},
+}
+
+
+def _surface_enum(surface_xml, attr):
+    raw = surface_xml.get(attr)
+    if raw in _SURFACE_ENUMS[attr]:
+        return _SURFACE_ENUMS[attr][raw]
+    return get_val(surface_xml, attr=attr)
+
+
 def create_surface(matrix_map, surface_xml):
     """chroma Surface from a GDML <opticalsurface> element (reference:
     chroma/rat/gdml.py:215)."""
     name = surface_xml.get('name')
     surface = Surface(name)
-    model = get_val(surface_xml, attr='model')
-    surface_type = get_val(surface_xml, attr='type')
-    finish = get_val(surface_xml, attr='finish')
+    model = _surface_enum(surface_xml, 'model')
+    surface_type = _surface_enum(surface_xml, 'type')
+    finish = _surface_enum(surface_xml, 'finish')
     value = get_val(surface_xml, attr='value')
     assert model in (0, 1, 4), \
         'Only glisur, unified, and dichroic models are supported'

@@ -7,11 +7,16 @@ primitive generators (chroma_tpu/rat/gdml.py) and assembles a Detector.
 Architectural difference vs the reference: the reference pushes every
 solid through the gmsh OCC kernel and conformally meshes shared
 boundaries, assigning per-face materials from boundary analysis
-(reference: chroma/rat/loader.py retrieve_mesh).  Without gmsh each
-volume is an independent closed surface whose triangles get
-inner=volume material / outer=parent material — the classic Chroma
-geometry model, adequate for non-overlapping GDML hierarchies.
-Boolean solids require the optional gmsh dependency.
+(reference: chroma/rat/loader.py:370 retrieve_mesh, :494
+assign_surface_properties).  Here each volume is meshed
+independently (triangles get inner=volume material / outer=parent
+material — the classic Chroma geometry model), then a conformal
+pass detects triangles coincident between touching volumes (the
+native meshers tessellate matching profiles identically), keeps each
+shared face exactly once on the deepest volume with outer material
+taken from the far side, and applies GDML border surfaces
+(``bordersurface``) both to whole child/parent interfaces and to
+deduplicated shared faces.  Boolean solids use the native BSP CSG.
 """
 from collections import deque
 
@@ -156,6 +161,20 @@ class RATGeoLoader:
             self.skin_surface_map[vol_ref] = \
                 self.surface_lookup.get(skin.get('surfaceproperty'))
 
+        # border surfaces: surface applied to photons crossing between a
+        # specific pair of physical volumes (reference:
+        # chroma/rat/loader.py:537 border_surfaces matching)
+        self.border_surfaces = []
+        for border in structure.findall('bordersurface'):
+            pv_refs = [pv.get('ref')
+                       for pv in border.findall('physvolref')]
+            surface = self.surface_lookup.get(
+                border.get('surfaceproperty'))
+            if len(pv_refs) == 2 and surface is not None:
+                self.border_surfaces.append(
+                    {'placement_names': frozenset(pv_refs),
+                     'surface': surface})
+
         world_ref = gdml_tree.find('setup').find('world').get('ref')
         if override_worldref is not None:
             world_ref = override_worldref
@@ -248,15 +267,37 @@ class RATGeoLoader:
         generator = dispatcher.get(mesh_type, gdml.notImplemented)
         return generator(elem)
 
+    def _border_surface_for(self, pv_a, pv_b):
+        """Border surface declared between two physical volume names."""
+        pair = frozenset((pv_a, pv_b))
+        for border in self.border_surfaces:
+            if border['placement_names'] == pair:
+                return border['surface']
+        return None
+
+    @staticmethod
+    def _pv_name(placement):
+        return placement.rsplit('/', 1)[-1]
+
     def build_detector(self, detector=None,
                        volume_classifier=_default_volume_classifier,
-                       solids_to_ignore=None, no_union=None):
-        """Assemble a Detector from the volume hierarchy."""
+                       solids_to_ignore=None, no_union=None,
+                       conformal=True):
+        """Assemble a Detector from the volume hierarchy.
+
+        With ``conformal=True`` (default), triangles coincident between
+        touching volumes are deduplicated: each shared face is kept once
+        on the deepest volume, its outer material is the far side's
+        outer material, and declared ``bordersurface`` properties are
+        applied (reference: chroma/rat/loader.py:494
+        assign_surface_properties via gmsh conformal meshing).
+        """
         if detector is None:
             detector = Detector(vacuum)
         if solids_to_ignore is not None:
             self.solidsToIgnore = solids_to_ignore
 
+        records = []
         q = deque([self.world])
         while q:
             volume = q.pop()
@@ -285,6 +326,12 @@ class RATGeoLoader:
             surface = kwargs.pop('surface', None)
             if surface is None:
                 surface = self.skin_surface_map.get(volume.name)
+            if surface is None and '/' in volume.placementName[1:]:
+                # whole child/parent interface border surface
+                parent_placement = volume.placementName.rsplit('/', 1)[0]
+                surface = self._border_surface_for(
+                    self._pv_name(volume.placementName),
+                    self._pv_name(parent_placement))
             color = kwargs.pop('color', DEFAULT_SOLID_COLOR)
             channel_type = kwargs.pop('channel_type', None)
             kwargs.pop('material1', None)
@@ -292,17 +339,121 @@ class RATGeoLoader:
 
             solid = Solid(mesh, inner, outer, surface=surface,
                           color=color)
-            if classification == 'pmt':
-                if volume.pmt_channel is not None:
-                    channel_type = volume.pmt_type
-                detector.add_pmt(solid, channel_type=channel_type,
+            if classification == 'pmt' and volume.pmt_channel is not None:
+                channel_type = volume.pmt_type
+            records.append({'volume': volume, 'solid': solid,
+                            'classification': classification,
+                            'channel_type': channel_type})
+
+        if conformal and len(records) > 1:
+            self._conform(records)
+
+        for rec in records:
+            if rec['classification'] == 'pmt':
+                detector.add_pmt(rec['solid'],
+                                 channel_type=rec['channel_type'],
                                  displacement=None)
-            elif classification == 'solid':
-                detector.add_solid(solid)
+            elif rec['classification'] == 'solid':
+                detector.add_solid(rec['solid'])
             else:
                 raise Exception('Unknown volume classification: %r'
-                                % classification)
+                                % rec['classification'])
         return detector
+
+    def _conform(self, records):
+        """Deduplicate coincident triangles between touching volumes.
+
+        Triangles whose three vertices agree to 0.1 um across two (or
+        more) volumes are a shared boundary meshed twice.  Keep the
+        deepest volume's copy, give it the shallowest volume's outer
+        material (the medium actually on the far side), and resolve its
+        surface as: declared border surface between the two placements,
+        else the kept triangle's surface, else any dropped triangle's
+        surface (e.g. the parent's skin).  Mirrors the boundary
+        analysis of the reference's conformal gmsh pipeline
+        (chroma/rat/loader.py:370,:494) without an OCC kernel.
+        """
+        vert_dt = np.dtype([('x', 'i8'), ('y', 'i8'), ('z', 'i8')])
+        tri_dt = np.dtype([('a', vert_dt), ('b', vert_dt),
+                           ('c', vert_dt)])
+        all_keys = []
+        owner = []
+        for ri, rec in enumerate(records):
+            mesh = rec['solid'].mesh
+            ntri = len(mesh.triangles)
+            verts = mesh.vertices[mesh.triangles]  # (n, 3, 3)
+            qv = np.ascontiguousarray(
+                np.round(verts * 1e4).astype(np.int64)
+            ).view(vert_dt).reshape(ntri, 3)
+            qv.sort(axis=1)
+            all_keys.append(qv.view(tri_dt).reshape(ntri))
+            owner.append(np.stack(
+                [np.full(ntri, ri), np.arange(ntri)], axis=1))
+        keys = np.concatenate(all_keys)
+        owner = np.concatenate(owner)
+        _, inverse, counts = np.unique(keys, return_inverse=True,
+                                       return_counts=True)
+        dup_groups = {}
+        for flat_idx in np.nonzero(counts[inverse] >= 2)[0]:
+            dup_groups.setdefault(inverse[flat_idx], []).append(
+                tuple(owner[flat_idx]))
+
+        drop = [np.zeros(len(k), dtype=bool) for k in all_keys]
+        n_shared = 0
+        for entries in dup_groups.values():
+            if len({ri for ri, _ in entries}) < 2:
+                continue  # duplicate within one solid: leave alone
+            n_shared += 1
+            depth = [records[ri]['volume'].placementName.count('/')
+                     for ri, _ in entries]
+            order = np.argsort(depth)[::-1]
+            keep_ri, keep_ti = entries[order[0]]
+            far_ri, far_ti = entries[order[-1]]
+            keep_solid = records[keep_ri]['solid']
+            keep_solid.outer_material[keep_ti] = \
+                records[far_ri]['solid'].outer_material[far_ti]
+            surface = None
+            keep_pv = self._pv_name(
+                records[keep_ri]['volume'].placementName)
+            for oi in order[1:]:
+                ri, ti = entries[oi]
+                drop[ri][ti] = True
+                if surface is None:
+                    surface = self._border_surface_for(
+                        keep_pv, self._pv_name(
+                            records[ri]['volume'].placementName))
+            if surface is None and keep_solid.surface[keep_ti] is not None:
+                surface = keep_solid.surface[keep_ti]
+            if surface is None:
+                for oi in order[1:]:
+                    ri, ti = entries[oi]
+                    s = records[ri]['solid'].surface[ti]
+                    if s is not None:
+                        surface = s
+                        break
+            keep_solid.surface[keep_ti] = surface
+
+        if n_shared:
+            logger.info('conformal pass: %d shared faces deduplicated',
+                        n_shared)
+        for rec, mask in zip(records, drop):
+            if not mask.any():
+                continue
+            solid = rec['solid']
+            keep = ~mask
+            solid.mesh = Mesh(solid.mesh.vertices,
+                              solid.mesh.triangles[keep],
+                              remove_duplicate_vertices=False,
+                              remove_null_triangles=False)
+            for field in ('inner_material', 'outer_material',
+                          'surface', 'color'):
+                setattr(solid, field, getattr(solid, field)[keep])
+        from chroma_tpu.geometry import _unique_objects
+        for rec in records:
+            solid = rec['solid']
+            solid.unique_materials = _unique_objects(
+                list(solid.inner_material) + list(solid.outer_material))
+            solid.unique_surfaces = _unique_objects(list(solid.surface))
 
     def add_pmt_info(self):
         """Assign PMT channels/types from RATDB GEO pmtarray tables."""

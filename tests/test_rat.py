@@ -191,3 +191,130 @@ def test_gdml_boolean_solids(gdml_file):
     det = loader.build_detector(volume_classifier=classifier)
     det.flatten()
     assert len(det.mesh.triangles) > 0
+
+
+CONFORMAL_GDML = textwrap.dedent("""\
+<?xml version="1.0" encoding="UTF-8" standalone="no" ?>
+<gdml>
+  <define>
+    <matrix name="RI_WATER" coldim="2"
+            values="1.5e-06 1.36 5.0e-06 1.4"/>
+    <matrix name="REFL" coldim="2" values="1.5e-06 0.9 5.0e-06 0.9"/>
+  </define>
+  <materials>
+    <material name="air">
+      <D value="0.001" unit="g/cm3"/>
+      <fraction n="1.0" ref="N2"/>
+    </material>
+    <material name="water">
+      <D value="1.0" unit="g/cm3"/>
+      <fraction n="1.0" ref="H2O"/>
+      <property name="RINDEX" ref="RI_WATER"/>
+    </material>
+    <material name="steel">
+      <D value="8.0" unit="g/cm3"/>
+      <fraction n="1.0" ref="Fe"/>
+    </material>
+  </materials>
+  <solids>
+    <box name="world_s" lunit="mm" x="2000" y="2000" z="2000"/>
+    <box name="tank_s" lunit="mm" x="400" y="400" z="400"/>
+    <box name="lid_s" lunit="mm" x="400" y="400" z="200"/>
+    <opticalsurface name="shiny" model="glisur" finish="polished"
+                    type="dielectric_metal" value="1.0">
+      <property name="REFLECTIVITY" ref="REFL"/>
+    </opticalsurface>
+  </solids>
+  <structure>
+    <volume name="lid_log">
+      <materialref ref="steel"/>
+      <solidref ref="lid_s"/>
+    </volume>
+    <volume name="tank_log">
+      <materialref ref="water"/>
+      <solidref ref="tank_s"/>
+      <physvol name="lid_phys">
+        <volumeref ref="lid_log"/>
+        <position name="lidpos" unit="mm" x="0" y="0" z="100"/>
+      </physvol>
+    </volume>
+    <volume name="world_log">
+      <materialref ref="air"/>
+      <solidref ref="world_s"/>
+      <physvol name="tank_phys">
+        <volumeref ref="tank_log"/>
+      </physvol>
+    </volume>
+    <bordersurface name="lid_border" surfaceproperty="shiny">
+      <physvolref ref="lid_phys"/>
+      <physvolref ref="tank_phys"/>
+    </bordersurface>
+  </structure>
+  <setup name="Default" version="1.0">
+    <world ref="world_log"/>
+  </setup>
+</gdml>
+""")
+
+
+def test_conformal_shared_face(tmp_path):
+    """A child volume flush against its parent's boundary: the shared
+    face must appear exactly once, with inner=child material,
+    outer=the medium beyond the parent, and the declared border
+    surface applied (reference: chroma/rat/loader.py:370,:494
+    conformal meshing + boundary analysis)."""
+    path = tmp_path / 'conformal.gdml'
+    path.write_text(CONFORMAL_GDML)
+    loader = RATGeoLoader(str(path))
+
+    def classify(volume_ref, material_ref, parent_material_ref):
+        if volume_ref == 'world_log':
+            return 'omit', dict()
+        return 'solid', dict()
+
+    det = loader.build_detector(volume_classifier=classify)
+    solids = {s.inner_material[0].name: s for s in det.solids}
+    tank, lid = solids['water'], solids['steel']
+
+    # the tank lost its 4 top-face triangles to the dedup
+    assert len(tank.mesh.triangles) == 12
+    assert len(lid.mesh.triangles) == 16
+
+    # the shared face (z = 200 plane) lives on the lid, seen once
+    tri_z = lid.mesh.vertices[lid.mesh.triangles][:, :, 2]
+    shared = np.all(np.isclose(tri_z, 200.0), axis=1)
+    assert shared.sum() == 4
+    for ti in np.nonzero(shared)[0]:
+        assert lid.inner_material[ti].name == 'steel'
+        assert lid.outer_material[ti].name == 'air'
+        assert lid.surface[ti] is not None \
+            and lid.surface[ti].name == 'shiny'
+    # non-shared lid faces keep the normal nesting: outer = water,
+    # border surface applied volume-wide (lid_phys <-> tank_phys)
+    for ti in np.nonzero(~shared)[0]:
+        assert lid.outer_material[ti].name == 'water'
+        assert lid.surface[ti].name == 'shiny'
+    # tank's remaining faces are untouched water/air
+    assert all(m.name == 'air' for m in tank.outer_material)
+
+    # no coincident duplicates anywhere after flatten
+    det.flatten()
+    tri = np.round(det.mesh.vertices[det.mesh.triangles] * 1e4)
+    keys = {tuple(sorted(map(tuple, t))) for t in tri}
+    assert len(keys) == len(det.mesh.triangles)
+
+
+def test_conformal_disabled_keeps_duplicates(tmp_path):
+    path = tmp_path / 'conformal.gdml'
+    path.write_text(CONFORMAL_GDML)
+    loader = RATGeoLoader(str(path))
+
+    def classify(volume_ref, material_ref, parent_material_ref):
+        if volume_ref == 'world_log':
+            return 'omit', dict()
+        return 'solid', dict()
+
+    det = loader.build_detector(volume_classifier=classify,
+                                conformal=False)
+    counts = sorted(len(s.mesh.triangles) for s in det.solids)
+    assert counts == [16, 16]
