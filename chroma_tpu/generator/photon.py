@@ -91,7 +91,12 @@ class GeneratorProcess(multiprocessing.Process):
 
         while True:
             ev = vertex_socket.recv_pyobj()
-            ev.photons_beg = gen.generate_photons(ev.vertices)
+            if self.tracking and getattr(gen, 'supports_tracking', False):
+                (ev.vertices, ev.photons_beg,
+                 ev.photon_parent_trackids) = gen.generate_photons(
+                    ev.vertices, tracking=True)
+            else:
+                ev.photons_beg = gen.generate_photons(ev.vertices)
             ev.nphotons = len(ev.photons_beg)
             photon_socket.send_pyobj(ev)
 

@@ -282,6 +282,46 @@ class ScintillationModel(object):
         return dt
 
 
+def scintillate_step(model, rng, pre_pos, post_pos, t0, t1, edep):
+    """Scintillation photons for ONE particle step under GLG4Scint
+    semantics (reference: src/GLG4Scint.cc:264-386 PostPostStepDoIt):
+    dE/dx = edep/steplength feeds Birks quenching, the photon count is
+    Poisson(light_yield * qedep), emission points are uniform along
+    the step, directions isotropic, polarization random transverse,
+    wavelengths/delays from the material's spectrum/waveform tables.
+
+    Returns ``(qedep, photons-or-None)``; used by the Geant4 stepping
+    action (g4gen.py) and unit-testable without Geant4.
+    """
+    pre = np.asarray(pre_pos, float)
+    post = np.asarray(post_pos, float)
+    seg = post - pre
+    ds = float(np.linalg.norm(seg))
+    edep = float(edep)
+    if edep <= 0.0:
+        return 0.0, None
+    dedx_mm = edep / max(ds, 1e-9)
+    qedep = model.quenched(edep, dedx_mm)
+    if not model.active:
+        return qedep, None
+    n = int(rng.poisson(model.light_yield * qedep))
+    if n == 0:
+        return qedep, None
+    frac = rng.uniform(0.0, 1.0, n)
+    pos = pre[None, :] + frac[:, None] * seg[None, :]
+    t = float(t0) + frac * (float(t1) - float(t0)) \
+        + model.sample_delays(n, rng)
+    pdir = uniform_sphere(n)
+    pol = np.cross(uniform_sphere(n), pdir)
+    pol /= np.maximum(np.linalg.norm(pol, axis=1)[:, None], 1e-12)
+    wl = model.sample_wavelengths(n, rng)
+    return qedep, event.Photons(
+        pos=pos.astype(np.float32), dir=pdir.astype(np.float32),
+        pol=pol.astype(np.float32), wavelengths=wl.astype(np.float32),
+        t=t.astype(np.float32),
+        flags=np.full(n, event.SCINTILLATION, np.uint32))
+
+
 def fabjan_fraction(z):
     """F(z) = 1 + z*e^z*Ei(-z); fraction of shower track length above
     threshold (Fabjan 1985 parameterization)."""

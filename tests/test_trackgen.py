@@ -196,6 +196,44 @@ def test_gamma_conversion():
     assert np.percentile(ph.pos[:, 2], 5) > 10.0
 
 
+def test_scintillate_step_matches_model():
+    """The per-step sampler the Geant4 stepping action drives
+    (g4gen._SteppingAction) reproduces ScintillationModel semantics:
+    Poisson yield on the quenched deposit, uniform emission along the
+    step, waveform delays (reference src/GLG4Scint.cc:264-386)."""
+    from chroma_tpu.generator.trackgen import (ScintillationModel,
+                                               scintillate_step)
+    mat = _scint_material(birks_mm=0.1)
+    model = ScintillationModel(mat)
+    rng = np.random.RandomState(3)
+    # 2 MeV over a 10 mm step -> dE/dx 0.2 MeV/mm, quench 1/(1+0.02)
+    qs, counts, ts, zs = [], [], [], []
+    for _ in range(200):
+        qedep, ph = scintillate_step(
+            model, rng, (0, 0, 0), (0, 0, 10.0), 5.0, 5.1, 2.0)
+        qs.append(qedep)
+        counts.append(0 if ph is None else len(ph))
+        if ph is not None:
+            ts.append(ph.t)
+            zs.append(ph.pos[:, 2])
+    assert abs(qs[0] - 2.0 / 1.02) < 1e-9
+    assert abs(np.mean(counts) - 100.0 * 2.0 / 1.02) < 10.0
+    t = np.concatenate(ts)
+    z = np.concatenate(zs)
+    # delays ~ Exp(10 ns) on top of t in [5.0, 5.1]
+    assert abs(np.mean(t) - (5.05 + 10.0)) < 1.0
+    # uniform along the step
+    assert (z >= 0.0).all() and (z <= 10.0).all()
+    assert abs(np.mean(z) - 5.0) < 0.5
+    wl = np.concatenate([np.asarray(p) for p in
+                         (ph.wavelengths,)])  # spectrum bounds
+    assert (wl >= 349.0).all() and (wl <= 451.0).all()
+    # zero deposit -> nothing
+    q0, p0 = scintillate_step(model, rng, (0, 0, 0), (0, 0, 1.0),
+                              0.0, 0.1, 0.0)
+    assert q0 == 0.0 and p0 is None
+
+
 def test_stub_is_gone():
     """g4gen raises ImportError (not NotImplementedError) without
     Geant4, so the pool falls back to TrackGenerator."""

@@ -167,6 +167,61 @@ def g4_narrow():
             f'({t/64*1e6:7.1f} us/iter)')
 
 
+def g5_real_table():
+    """Realistic MBVH-table gather: R=12308 rows (the instanced full
+    demo), width swept 256B..3.4KB, n=16384 lanes — what would
+    narrower rows actually cost per row?"""
+    nrows = 12308
+    ng = 1 << 14
+    kk = jax.random.PRNGKey(5)
+    for words in (64, 128, 160, 224, 420, 840):
+        rows = make_table(nrows, words)
+
+        @jax.jit
+        def g(rows, ptr):
+            def body(i, acc):
+                r = rows[(ptr + i * 37) % nrows]
+                return acc + jnp.sum(r[:, :4].astype(jnp.uint32))
+            return jax.lax.fori_loop(0, 64, body,
+                                     jnp.zeros((), jnp.uint32))
+
+        ptr = jax.random.randint(kk, (ng,), 0, nrows, dtype=jnp.int32)
+        ptr.block_until_ready()
+        t = timeit(lambda: g(rows, ptr), number=3)
+        per = t / (ng * 64) * 1e9
+        log(f'G5 width={words*4:6d}B: {per:6.2f} ns/row '
+            f'({words*4/per:.0f} GB/s, {t/64*1e6:7.1f} us/pass)')
+        del rows
+
+
+def g6_lanes():
+    """ns/row vs lane count on the realistic 12308-row table — is
+    there a fixed per-pass cost that wider batches amortize?"""
+    nrows = 12308
+    kk = jax.random.PRNGKey(6)
+    for words in (224, 840):
+        rows = make_table(nrows, words)
+        for lg in (12, 14, 16, 18, 20):
+            ng = 1 << lg
+
+            @jax.jit
+            def g(rows, ptr):
+                def body(i, acc):
+                    r = rows[(ptr + i * 37) % nrows]
+                    return acc + jnp.sum(r[:, :4].astype(jnp.uint32))
+                return jax.lax.fori_loop(0, 64, body,
+                                         jnp.zeros((), jnp.uint32))
+
+            ptr = jax.random.randint(kk, (ng,), 0, nrows,
+                                     dtype=jnp.int32)
+            ptr.block_until_ready()
+            t = timeit(lambda: g(rows, ptr), number=3)
+            per = t / (ng * 64) * 1e9
+            log(f'G6 width={words*4:5d}B n={ng:8d}: {per:6.2f} ns/row '
+                f'({t/64*1e6:8.1f} us/pass)')
+        del rows
+
+
 def main():
     sections = sys.argv[1] if len(sys.argv) > 1 else '1234'
     log(f'# devices: {jax.devices()}')
@@ -178,6 +233,10 @@ def main():
         g3_onehot()
     if '4' in sections:
         g4_narrow()
+    if '5' in sections:
+        g5_real_table()
+    if '6' in sections:
+        g6_lanes()
 
 
 if __name__ == '__main__':
