@@ -25,10 +25,21 @@ The reference equivalent is the persistent-thread propagate kernel +
 double-buffered queues (chroma/cuda/propagate.cu:217,
 chroma/gpu/photon.py:192) — re-engineered for a vector machine.
 
+Software pipelining (round 3): the row gather and the VPU math of one
+walker iteration form a strict dependence chain (pop -> gather -> test
+-> push -> pop), so a single lock-step batch leaves the HBM fetch and
+the vector unit idle in alternation.  Measured on-chip, an XLA row
+gather overlaps fully with INDEPENDENT elementwise work (C ~ max(A,B)
+in the gather/VPU chained-loop probe), so the driver runs ``CHAINS``
+independent lane batches inside the same device loop: chain A's row
+fetch rides under chain B's triangle tests.  Each chain owns a private
+segment of the photon pool, so the chains share nothing but the jit.
+
 RNG note: draws are consumed per *service pass*, not per photon step,
 so sequences differ from ops/photon.propagate — all physics tests are
 statistical, and both drivers sample the same distributions.
 """
+import os
 from functools import partial
 
 import numpy as np
@@ -41,8 +52,12 @@ from chroma_tpu.ops.mbvh import NMASK_WORDS
 from chroma_tpu.ops.propagate import physics_update, NDRAWS
 
 SERVICE_EVERY = 6       # walker iterations between physics passes
-DEFAULT_WIDTH = 8192    # lane width (tools/tune_fused*: narrow wins
-                        # because service cost scales with width)
+DEFAULT_WIDTH = 8192    # total lane width across chains
+                        # (tools/tune_fused*: narrow wins because
+                        # service cost scales with width)
+DEFAULT_CHAINS = int(os.environ.get('CHROMA_TPU_CHAINS', 2))
+MIN_CHAIN_WIDTH = 2048  # below this, pipelining overhead beats the
+                        # overlap win: fall back to one chain
 DRAIN_SHRINK = (8, 64)  # lane-compaction cascade for the pool-dry tail
 
 _PHOTON_KEYS = ('pos', 'dir', 'pol', 'wavelength', 't', 'weight',
@@ -102,9 +117,12 @@ def _reseed(lane, need, geom):
 
 
 def _service(lane, pool, next_ptr, key, geom, max_steps, scatter_first,
-             use_weights):
+             use_weights, idx_base=0):
     """Physics + retire + refill pass over all lanes (predicated).
-    ``pool`` is the packed (n, 16) photon pool (see _pack)."""
+    ``pool`` is the packed (n, 16) photon pool (see _pack) — for a
+    pipelined chain, its private pool segment, with ``idx_base`` the
+    segment's first global photon index (retiring lanes scatter to
+    slot ``index - idx_base``)."""
     w = lane['pos'].shape[0]
     n_pool = pool.shape[0]
     key, sk = jax.random.split(key)
@@ -140,7 +158,8 @@ def _service(lane, pool, next_ptr, key, geom, max_steps, scatter_first,
     alive2 = (lane['flags'] & jnp.uint32(event.TERMINAL_FLAGS)) == 0
     finished = holding & trav_done & (~alive2
                                       | (lane['step'] >= max_steps))
-    out_idx = jnp.where(finished, lane['index'].astype(jnp.int32), n_pool)
+    out_idx = jnp.where(finished,
+                        lane['index'].astype(jnp.int32) - idx_base, n_pool)
     packed = _pack(lane)
     pool = pool.at[out_idx].set(packed, mode='drop')
 
@@ -179,31 +198,10 @@ def _compact_lanes(lane, m):
     return {k: (v if v.ndim == 0 else v[idx]) for k, v in lane.items()}
 
 
-@partial(jax.jit, static_argnames=('max_steps', 'use_weights', 'width',
-                                   'service_every'))
-def propagate_fused(state, geom, key, max_steps=100, use_weights=False,
-                    scatter_first=0, width=None,
-                    service_every=SERVICE_EVERY):
-    """Propagate all photons in ``state`` to termination, fused.
-
-    Returns ``(final_state, stats)`` where ``stats`` is an int32[4]
-    vector [service_passes, photon_steps, lane_iterations,
-    active_lane_iterations].  Output order == input order: retiring
-    lanes scatter into the pool at slot ``index``, and the pool is
-    consumed sequentially, so the state is re-indexed 0..n-1 here and
-    the caller's ``index`` restored on return (an arbitrary permuted
-    index input would otherwise overwrite not-yet-run photons).
-    """
-    caller_index = state['index']
-    state = dict(state, index=jnp.arange(state['pos'].shape[0],
-                                         dtype=jnp.uint32))
-    n = state['pos'].shape[0]
-    w = width or min(n, DEFAULT_WIDTH)
-    w = min(w, n)
-    depth = min(geom.mbvh_depth, mbvh.MAX_LEVELS)
-
-    pool = _pack(state)
-    lane = {k: v[:w] for k, v in state.items()}
+def _make_lane(state, geom, lo, w, depth):
+    """Initial lane state for one chain: pool photons [lo, lo+w)."""
+    lane = {k: jax.lax.slice_in_dim(v, lo, lo + w) for k, v in
+            state.items()}
     lane.update(
         holding=jnp.ones(w, bool),
         step=jnp.zeros(w, jnp.int32),
@@ -225,64 +223,132 @@ def propagate_fused(state, geom, key, max_steps=100, use_weights=False,
     alive = (lane['flags'] & jnp.uint32(event.TERMINAL_FLAGS)) == 0
     ok = ~jnp.isnan(jnp.sum(lane['dir'], axis=1)
                     + jnp.sum(lane['pos'], axis=1))
-    lane = _reseed(lane, alive & ok, geom)
+    return _reseed(lane, alive & ok, geom)
+
+
+@partial(jax.jit, static_argnames=('max_steps', 'use_weights', 'width',
+                                   'service_every', 'chains'))
+def propagate_fused(state, geom, key, max_steps=100, use_weights=False,
+                    scatter_first=0, width=None,
+                    service_every=SERVICE_EVERY, chains=None):
+    """Propagate all photons in ``state`` to termination, fused.
+
+    Returns ``(final_state, stats)`` where ``stats`` is an int32[4]
+    vector [service_passes, photon_steps, lane_iterations,
+    active_lane_iterations].  Output order == input order: retiring
+    lanes scatter into the pool at slot ``index``, and the pool is
+    consumed sequentially, so the state is re-indexed 0..n-1 here and
+    the caller's ``index`` restored on return (an arbitrary permuted
+    index input would otherwise overwrite not-yet-run photons).
+
+    ``chains``: number of independent software-pipelined lane batches
+    (see module docstring); each owns ``width/chains`` lanes and a
+    private photon-pool segment.  Defaults to CHROMA_TPU_CHAINS (2),
+    dropping to 1 when the batch is too small to split.
+    """
+    caller_index = state['index']
+    state = dict(state, index=jnp.arange(state['pos'].shape[0],
+                                         dtype=jnp.uint32))
+    n = state['pos'].shape[0]
+    w_total = width or min(n, DEFAULT_WIDTH)
+    w_total = min(w_total, n)
+    nchains = chains or DEFAULT_CHAINS
+    while nchains > 1 and (w_total // nchains < MIN_CHAIN_WIDTH
+                           or n // nchains < MIN_CHAIN_WIDTH):
+        nchains -= 1
+    depth = min(geom.mbvh_depth, mbvh.MAX_LEVELS)
+
+    packed = _pack(state)
+    # chain c owns pool segment [seg_lo[c], seg_lo[c+1]) and starts
+    # holding its first w_c photons
+    base, rem = divmod(n, nchains)
+    seg_sizes = [base + (1 if c < rem else 0) for c in range(nchains)]
+    seg_lo = np.concatenate([[0], np.cumsum(seg_sizes)]).astype(int)
+    w_c = [min(w_total // nchains, seg_sizes[c]) for c in range(nchains)]
+
+    pools = [jax.lax.slice_in_dim(packed, seg_lo[c], seg_lo[c + 1])
+             for c in range(nchains)]
+    lanes = [_make_lane(state, geom, seg_lo[c], w_c[c], depth)
+             for c in range(nchains)]
+    next_ptrs = [jnp.asarray(w_c[c], jnp.int32) for c in range(nchains)]
+    keys = list(jax.random.split(key, nchains))
 
     # stats: [services, photon_steps, lane_iters, pending_lane_iters]
     stats = jnp.zeros(4, jnp.int32)
 
-    def make_body(body_walk, body_walk_np):
+    body_walk = mbvh._walk_body(geom, depth)
+    body_walk_np = mbvh._walk_body(geom, depth, do_prune=False)
+
+    def make_body():
         def body(carry):
-            lane, pool, next_ptr, key, stats = carry
-            s = lane
+            lanes, pools, next_ptrs, keys, stats = carry
+            lanes = list(lanes)
+            pools = list(pools)
+            next_ptrs = list(next_ptrs)
+            keys = list(keys)
+            # interleave the chains' walker iterations so the
+            # scheduler can ride chain A's row fetch under chain B's
+            # triangle tests (the chains share no state)
             for i in range(service_every):
-                s = body_walk(s) if i % 2 == 0 else body_walk_np(s)
-            lane = s
-            holding = lane['holding']
-            pending = jnp.any(lane['masks'] != 0, axis=(1, 2))
-            ready = holding & ~pending
-            stats = stats + jnp.stack(
-                [jnp.asarray(1, jnp.int32),
-                 jnp.sum(ready).astype(jnp.int32),
-                 jnp.sum(holding).astype(jnp.int32) * service_every,
-                 jnp.asarray(0, jnp.int32)])
-            lane, pool, next_ptr, key = _service(
-                lane, pool, next_ptr, key, geom, max_steps,
-                scatter_first, use_weights)
-            return lane, pool, next_ptr, key, stats
+                wf = body_walk if i % 2 == 0 else body_walk_np
+                for c in range(len(lanes)):
+                    lanes[c] = wf(lanes[c])
+            for c in range(len(lanes)):
+                holding = lanes[c]['holding']
+                pending = jnp.any(lanes[c]['masks'] != 0, axis=(1, 2))
+                ready = holding & ~pending
+                stats = stats + jnp.stack(
+                    [jnp.asarray(1 if c == 0 else 0, jnp.int32),
+                     jnp.sum(ready).astype(jnp.int32),
+                     jnp.sum(holding).astype(jnp.int32) * service_every,
+                     jnp.asarray(0, jnp.int32)])
+                lanes[c], pools[c], next_ptrs[c], keys[c] = _service(
+                    lanes[c], pools[c], next_ptrs[c], keys[c], geom,
+                    max_steps, scatter_first, use_weights,
+                    idx_base=int(seg_lo[c]))
+            return (tuple(lanes), tuple(pools), tuple(next_ptrs),
+                    tuple(keys), stats)
         return body
 
-    def run_stage(lane, pool, next_ptr, key, stats, target):
-        """Run until all lanes drain (or, with a target, until the
-        pool is dry and few enough lanes remain to compact)."""
-        body_walk = mbvh._walk_body(geom, depth)
-        body_walk_np = mbvh._walk_body(geom, depth, do_prune=False)
-
+    def run_stage(lanes, pools, next_ptrs, keys, stats, targets):
+        """Run until every chain drains (or, with per-chain lane
+        ``targets``, until each active chain's pool segment is dry and
+        few enough lanes remain to compact)."""
         def cond(carry):
-            lane, pool, next_ptr, kk, stats = carry
-            more = jnp.any(lane['holding'])
-            if target is None:
-                return more
-            nhold = jnp.sum(lane['holding'].astype(jnp.int32))
-            return more & ((next_ptr < n) | (nhold > target))
+            lanes, pools, next_ptrs, kk, stats = carry
+            go = None
+            for c in range(len(lanes)):
+                active = jnp.any(lanes[c]['holding'])
+                if targets is None:
+                    more = active
+                else:
+                    nhold = jnp.sum(lanes[c]['holding'].astype(jnp.int32))
+                    seg_n = pools[c].shape[0]
+                    more = active & ((next_ptrs[c] < seg_n)
+                                     | (nhold > targets[c]))
+                go = more if go is None else (go | more)
+            return go
 
         return jax.lax.while_loop(
-            cond, make_body(body_walk, body_walk_np),
-            (lane, pool, next_ptr, key, stats))
+            cond, make_body(),
+            (tuple(lanes), tuple(pools), tuple(next_ptrs), tuple(keys),
+             stats))
 
-    next_ptr = jnp.asarray(w, jnp.int32)
-    if w > 4096 and len(DRAIN_SHRINK):
-        m1 = max(w // DRAIN_SHRINK[0], 1024)
-        m2 = max(w // DRAIN_SHRINK[1], 256)
-        lane, pool, next_ptr, key, stats = run_stage(
-            lane, pool, next_ptr, key, stats, m1)
-        lane = _compact_lanes(lane, m1)
-        lane, pool, next_ptr, key, stats = run_stage(
-            lane, pool, next_ptr, key, stats, m2)
-        lane = _compact_lanes(lane, m2)
-    lane, pool, next_ptr, key, stats = run_stage(
-        lane, pool, next_ptr, key, stats, None)
+    carry = (lanes, pools, next_ptrs, keys, stats)
+    if min(w_c) * nchains > 4096 and len(DRAIN_SHRINK):
+        for shrink in DRAIN_SHRINK:
+            # shrink factors are relative to each chain's ORIGINAL
+            # width (w/8 then w/64, as the single-chain driver did)
+            targets = [max(w_c[c] // shrink, 1024 // nchains)
+                       for c in range(nchains)]
+            carry = run_stage(*carry, targets)
+            lanes, pools, next_ptrs, keys, stats = carry
+            lanes = tuple(_compact_lanes(lanes[c], targets[c])
+                          for c in range(nchains))
+            carry = (lanes, pools, next_ptrs, keys, stats)
+    lanes, pools, next_ptrs, keys, stats = run_stage(*carry, None)
 
-    stats = stats.at[3].set(lane['nactive'])
-    out = _unpack(pool)
+    stats = stats.at[3].set(sum(lane['nactive'] for lane in lanes))
+    out = _unpack(jnp.concatenate(pools, axis=0))
     out['index'] = caller_index
     return out, stats
