@@ -83,6 +83,20 @@ XFORM_OFF = IBOX_SCALE_OFF + 3              # entry: 9 x f32 R (row-major,
 TRI_BASE_OFF = XFORM_OFF + 12               # entry: global tri id offset
 assert TRI_BASE_OFF + 1 <= ROW_WIDTH
 LAYOUT_VERSION = 7
+# tree-construction algorithm: 'sah' (binned-SAH binary build + wide
+# collapse, C++ csrc/chroma_native.cc sah_wide_build) or 'grid'
+# (Morton recursive-grid coarsening).  SAH minimizes child overlap so
+# rays descend into fewer subtrees (fewer row fetches per photon
+# step); grid remains as the no-toolchain fallback.
+USE_SAH = os.environ.get('CHROMA_TPU_SAH', '1') != '0'
+
+
+def builder_tag():
+    """Cache-key tag naming the tree builder actually in use."""
+    from chroma_tpu import native
+    if USE_SAH and native.native() is not None:
+        return 'sah1'
+    return 'grid'
 # the walker's (NMASK_WORDS, 32) bitmask reshapes require a whole
 # number of 32-bit mask words (CHROMA_TPU_BRANCH is env-overridable)
 assert BRANCH >= 32 and BRANCH % 32 == 0, \
@@ -287,6 +301,69 @@ def _emit_internal_rows(rows, dst, fc, nc, child_base, child_lo, child_hi,
     _write_f32(rows, dst, IBOX_SCALE_OFF, box_scale)
 
 
+def _quantize_boxes(lo, hi, world_origin, world_scale):
+    """Conservative 16-bit grid quantization of float AABBs, matching
+    the _leaf_data convention (floor-1 / +1 widening)."""
+    inv = 1.0 / world_scale
+    qlo = np.clip((lo - world_origin) * inv, 0, 2 ** 16 - 2) \
+        .astype(np.uint32)
+    qlo[qlo > 0] -= 1
+    qhi = np.clip((hi - world_origin) * inv, 0, 2 ** 16 - 2) \
+        .astype(np.uint32) + 1
+    return qlo, qhi
+
+
+def _build_rows_sah(mesh, material_codes, frame_local=False,
+                    tri_id_offset=0):
+    """SAH variant of _build_rows (same contract), or None when the
+    native builder is unavailable."""
+    from chroma_tpu import native
+    from chroma_tpu.bvh.bvh import WorldCoords
+
+    tv_all = mesh.vertices[mesh.triangles].astype(np.float32)  # (T,3,3)
+    ntris = len(mesh.triangles)
+    if material_codes is None:
+        material_codes = np.zeros(ntris, dtype=np.uint32)
+    material_codes = np.asarray(material_codes, dtype=np.uint32)
+
+    lower = tv_all.min(axis=1)
+    upper = tv_all.max(axis=1)
+    b = native.sah_wide_build(lower, upper, BRANCH, BRANCH)
+    if b is None:
+        return None
+    if b['depth'] > 12:      # ops.mbvh.MAX_LEVELS: deeper levels are
+        return None          # unreachable — fall back to grid build
+
+    vertices = mesh.vertices
+    world_origin = vertices.min(axis=0)
+    world_scale = float(np.max(vertices.max(axis=0) - world_origin)
+                        / (2 ** 16 - 2))
+    world_scale = max(world_scale, 1e-12)
+    wc = WorldCoords(world_origin=world_origin, world_scale=world_scale)
+
+    W = len(b['kind'])
+    rows = np.zeros((W, ROW_WIDTH), dtype=np.uint32)
+    row_lo, row_hi = _quantize_boxes(b['node_lo'], b['node_hi'],
+                                     world_origin, world_scale)
+
+    clus = b['kind'] == 1
+    cdst = np.flatnonzero(clus).astype(np.int64)
+    if len(cdst):
+        _emit_cluster_rows(rows, cdst, b['child_start'][clus],
+                           b['child_count'][clus], tv_all,
+                           b['leaf_order'], material_codes, frame_local,
+                           tri_id_offset)
+    idst = np.flatnonzero(~clus).astype(np.int64)
+    if len(idst):
+        _emit_internal_rows(rows, idst, b['child_start'][~clus],
+                            b['child_count'][~clus], 0, row_lo, row_hi,
+                            world_origin, np.repeat(world_scale, 3),
+                            frame_local)
+    return dict(wc=wc, rows=rows, nlayers=b['depth'],
+                nblocks=int(len(idst)), ntris=ntris, row_lo=row_lo,
+                row_hi=row_hi)
+
+
 def _build_rows(mesh, material_codes, target_degree, frame_local=False,
                 tri_id_offset=0):
     """Build the packed row block for one mesh (root at row 0).
@@ -295,7 +372,17 @@ def _build_rows(mesh, material_codes, target_degree, frame_local=False,
     row_lo/row_hi ((R,3) u32 per-row AABBs in grid coords).  Cluster
     triangle ids are ``tri_id_offset`` + local index (instance entries
     instead carry the offset at traversal time, so BLAS blocks pass 0).
+
+    Uses the binned-SAH wide build (csrc sah_wide_build) when the
+    native library is present and USE_SAH; otherwise the Morton
+    recursive-grid grouping below.
     """
+    if USE_SAH:
+        built = _build_rows_sah(mesh, material_codes,
+                                frame_local=frame_local,
+                                tri_id_offset=tri_id_offset)
+        if built is not None:
+            return built
     tv_all = mesh.vertices[mesh.triangles].astype(np.float32)  # (T,3,3)
     ntris = len(mesh.triangles)
     if material_codes is None:
@@ -354,7 +441,8 @@ def _build_rows(mesh, material_codes, target_degree, frame_local=False,
         row_hi[dst] = layer_hi[k]
 
     return dict(wc=world_coords, rows=rows, nlayers=nlayers,
-                ntris=ntris, row_lo=row_lo, row_hi=row_hi)
+                nblocks=nblocks, ntris=ntris, row_lo=row_lo,
+                row_hi=row_hi)
 
 
 def build_mbvh(mesh, material_codes=None, target_degree=TARGET_DEGREE):
@@ -364,7 +452,7 @@ def build_mbvh(mesh, material_codes=None, target_degree=TARGET_DEGREE):
     material/surface codes baked into cluster rows (zeros if omitted).
     """
     b = _build_rows(mesh, material_codes, target_degree)
-    return MBVH(b['wc'], b['rows'], len(b['rows']), b['nlayers'],
+    return MBVH(b['wc'], b['rows'], b['nblocks'], b['nlayers'],
                 b['ntris'])
 
 
@@ -569,7 +657,7 @@ def build_mbvh_instanced(geometry, material_codes,
         patch_row[sel] = ids
         ppos += len(ids)
 
-    # ---- global TLAS grid + Morton order over candidates -----------
+    # ---- global TLAS grid over candidates ---------------------------
     world_origin = wlo.min(axis=0).astype(np.float32)
     world_scale = float(max((whi.max(axis=0)
                              - world_origin).max() / (2 ** 16 - 2),
@@ -577,36 +665,69 @@ def build_mbvh_instanced(geometry, material_codes,
     wc_global = WorldCoords(world_origin=world_origin,
                             world_scale=world_scale)
 
-    def quant(v):
-        return np.clip((v - world_origin) / world_scale,
-                       0, 2 ** 16 - 2).astype(np.uint32)
+    # levels below the TLAS leaf level (entries embed the BLAS root's
+    # subtree; patches carry their own descent depth)
+    below = [max(b['nlayers'] - 1, 1) for b in blas]
+    below += [int(b['patch_below'].max()) for b in inline
+              if len(b['patch_below'])]
+    max_below = max(below)
 
-    q_lo = quant(wlo)
-    q_lo[q_lo > 0] -= 1
-    q_hi = quant(whi) + 1
-    morton = morton_codes_3d(quant((wlo + whi) * 0.5))
-    order = native.radix_argsort_u64(morton)
-    if order is None:
-        order = np.argsort(morton, kind='stable')
-    q_lo, q_hi, morton = q_lo[order], q_hi[order], morton[order]
+    # TLAS tree over candidate AABBs: SAH wide build (leaf_max=1 —
+    # every candidate is its own node) with the Morton recursive-grid
+    # grouping as the no-toolchain fallback
+    sahb = native.sah_wide_build(wlo, whi, BRANCH, 1) if USE_SAH \
+        else None
+    if sahb is not None and sahb['depth'] + max_below > 12:
+        sahb = None          # ops.mbvh.MAX_LEVELS guard
 
-    groupings, layer_lo, layer_hi = _grouping_rounds(
-        q_lo, q_hi, morton, ncand, target_degree)
-    nlayers_t = len(groupings)
-    layer_sizes = [len(g[0]) for g in groupings]
-    n_tlas = sum(layer_sizes)
+    if sahb is not None:
+        n_tlas_rows = len(sahb['kind'])
+        clus_t = sahb['kind'] == 1
+        # cluster wide id -> candidate id (single-leaf clusters appear
+        # in BFS order, so child_start enumerates leaf_order directly)
+        cdst_t = np.flatnonzero(clus_t).astype(np.int64)
+        cand_of = sahb['leaf_order'][sahb['child_start'][clus_t]]
+        q_lo_t, q_hi_t = _quantize_boxes(
+            sahb['node_lo'], sahb['node_hi'], world_origin, world_scale)
+        depth = sahb['depth'] + max_below
+    else:
+        def quant(v):
+            return np.clip((v - world_origin) / world_scale,
+                           0, 2 ** 16 - 2).astype(np.uint32)
 
-    # row ids: [TLAS internals root-first] [leaf-level candidates in
-    # Morton order] [BLAS blocks] [inline blocks]
-    id_base = {}
-    running = 0
-    for k in range(nlayers_t - 1, -1, -1):
-        id_base[k] = running
-        running += layer_sizes[k]
-    assert running == n_tlas
-    leaf_base = n_tlas
+        q_lo = quant(wlo)
+        q_lo[q_lo > 0] -= 1
+        q_hi = quant(whi) + 1
+        morton = morton_codes_3d(quant((wlo + whi) * 0.5))
+        order = native.radix_argsort_u64(morton)
+        if order is None:
+            order = np.argsort(morton, kind='stable')
+        q_lo, q_hi, morton = q_lo[order], q_hi[order], morton[order]
+
+        groupings, layer_lo, layer_hi = _grouping_rounds(
+            q_lo, q_hi, morton, ncand, target_degree)
+        nlayers_t = len(groupings)
+        layer_sizes = [len(g[0]) for g in groupings]
+        n_tlas = sum(layer_sizes)
+
+        # row ids: [TLAS internals root-first] [leaf-level candidates
+        # in Morton order] [BLAS blocks] [inline blocks]
+        id_base = {}
+        running = 0
+        for k in range(nlayers_t - 1, -1, -1):
+            id_base[k] = running
+            running += layer_sizes[k]
+        assert running == n_tlas
+        leaf_base = n_tlas
+        n_tlas_rows = n_tlas + ncand
+        # depth = deepest level index + 1: TLAS internals occupy
+        # levels 0..nlayers_t-1, leaf candidates level nlayers_t;
+        # below that, entries add max(blas nlayers - 1, 1) levels (the
+        # embedded BLAS root's subtree) and each patch its own count
+        depth = nlayers_t + 1 + max_below
+
     blas_base = []
-    running = n_tlas + ncand
+    running = n_tlas_rows
     for b in blas:
         blas_base.append(running)
         running += len(b['rows'])
@@ -671,30 +792,33 @@ def build_mbvh_instanced(geometry, material_codes,
             np.asarray(inline_base, dtype=np.int64)[patch_blk]
             + patch_row]
 
-    rows[leaf_base:leaf_base + ncand] = leaf_rows[order]
-
-    # ---- TLAS internal rows ----------------------------------------
-    for k in range(nlayers_t):
-        fc, nc = groupings[k]
-        dst = id_base[k] + np.arange(len(fc))
-        if k == 0:
-            child_base, child_lo, child_hi = leaf_base, q_lo, q_hi
-        else:
-            child_base = id_base[k - 1]
-            child_lo, child_hi = layer_lo[k - 1], layer_hi[k - 1]
-        _emit_internal_rows(rows, dst, fc, nc, child_base,
-                            child_lo, child_hi, world_origin,
+    if sahb is not None:
+        # ---- SAH TLAS: candidates at their cluster-node wide ids,
+        # internal rows over global per-node grid boxes --------------
+        rows[cdst_t] = leaf_rows[cand_of]
+        idst_t = np.flatnonzero(~clus_t).astype(np.int64)
+        _emit_internal_rows(rows, idst_t, sahb['child_start'][~clus_t],
+                            sahb['child_count'][~clus_t], 0,
+                            q_lo_t, q_hi_t, world_origin,
                             np.repeat(np.float32(world_scale), 3),
                             frame_local=False)
+    else:
+        rows[leaf_base:leaf_base + ncand] = leaf_rows[order]
 
-    # depth = deepest level index + 1: TLAS internals occupy levels
-    # 0..nlayers_t-1, leaf candidates level nlayers_t; below that,
-    # entries add max(blas nlayers - 1, 1) levels (the embedded BLAS
-    # root's subtree) and each patch its own levels-below count
-    below = [max(b['nlayers'] - 1, 1) for b in blas]
-    below += [int(b['patch_below'].max()) for b in inline
-              if len(b['patch_below'])]
-    depth = nlayers_t + 1 + max(below)
+        # ---- TLAS internal rows (Morton layers) ---------------------
+        for k in range(nlayers_t):
+            fc, nc = groupings[k]
+            dst = id_base[k] + np.arange(len(fc))
+            if k == 0:
+                child_base, child_lo, child_hi = leaf_base, q_lo, q_hi
+            else:
+                child_base = id_base[k - 1]
+                child_lo, child_hi = layer_lo[k - 1], layer_hi[k - 1]
+            _emit_internal_rows(rows, dst, fc, nc, child_base,
+                                child_lo, child_hi, world_origin,
+                                np.repeat(np.float32(world_scale), 3),
+                                frame_local=False)
+
     ntris = int(sum(len(m.triangles) for m, _, p in inst_groups)
                 + sum(b['ntris'] for b in inline))
     return MBVH(wc_global, rows, total_rows, depth, ntris,

@@ -67,6 +67,12 @@ def native():
         lib.csg_boolean.argtypes = [ctypes.c_int, f64p, ctypes.c_int64,
                                     f64p, ctypes.c_int64]
         lib.csg_fetch.argtypes = [f64p]
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        lib.sah_wide_build.restype = ctypes.c_int64
+        lib.sah_wide_build.argtypes = [f32p, f32p, ctypes.c_int64,
+                                       ctypes.c_int64, ctypes.c_int64,
+                                       i64p]
+        lib.sah_wide_fetch.argtypes = [u8p, i64p, i64p, i64p, f32p, f32p]
         _lib = lib
         logger.info('native helpers loaded from %s', out)
     except Exception as exc:  # no toolchain / build failure: fall back
@@ -140,6 +146,48 @@ def segment_min_max(lo, hi, first_child, nchild):
         _ptr(first_child, ctypes.c_int64), _ptr(nchild, ctypes.c_int64),
         npar, _ptr(out_lo, ctypes.c_uint32), _ptr(out_hi, ctypes.c_uint32))
     return out_lo, out_hi
+
+
+def sah_wide_build(leaf_lo, leaf_hi, branch, leaf_max):
+    """Binned-SAH wide BVH over ``n`` leaf AABBs, or None without the
+    library.  Returns a dict of numpy arrays:
+
+      kind        (W,)  u8   1 = cluster (holds leaves), 0 = internal
+      child_start (W,)  i64  internal: first child wide id (children
+                             are consecutive); cluster: offset into
+                             leaf_order
+      child_count (W,)  i64
+      leaf_order  (n,)  i64  cluster c owns leaf_order[start:start+cnt]
+      node_lo/hi  (W,3) f32  per-node AABBs
+      depth       int        tree depth in levels (root = level 1)
+
+    Wide ids are BFS order with root 0.  ``leaf_max`` is the max
+    leaves per cluster (1 makes every leaf its own node — the TLAS
+    candidate-tree mode)."""
+    lib = native()
+    if lib is None:
+        return None
+    leaf_lo = np.ascontiguousarray(leaf_lo, dtype=np.float32)
+    leaf_hi = np.ascontiguousarray(leaf_hi, dtype=np.float32)
+    n = len(leaf_lo)
+    depth = np.zeros(1, dtype=np.int64)
+    w = lib.sah_wide_build(
+        _ptr(leaf_lo, ctypes.c_float), _ptr(leaf_hi, ctypes.c_float),
+        n, branch, leaf_max, _ptr(depth, ctypes.c_int64))
+    kind = np.empty(w, dtype=np.uint8)
+    child_start = np.empty(w, dtype=np.int64)
+    child_count = np.empty(w, dtype=np.int64)
+    leaf_order = np.empty(n, dtype=np.int64)
+    node_lo = np.empty((w, 3), dtype=np.float32)
+    node_hi = np.empty((w, 3), dtype=np.float32)
+    lib.sah_wide_fetch(
+        _ptr(kind, ctypes.c_uint8), _ptr(child_start, ctypes.c_int64),
+        _ptr(child_count, ctypes.c_int64),
+        _ptr(leaf_order, ctypes.c_int64),
+        _ptr(node_lo, ctypes.c_float), _ptr(node_hi, ctypes.c_float))
+    return dict(kind=kind, child_start=child_start,
+                child_count=child_count, leaf_order=leaf_order,
+                node_lo=node_lo, node_hi=node_hi, depth=int(depth[0]))
 
 
 def csg_boolean(op_code, tris_a, tris_b):

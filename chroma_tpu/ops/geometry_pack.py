@@ -184,14 +184,15 @@ def _load_or_build_mbvh(geometry, material_codes, instancing=None):
     from chroma_tpu.cache import Cache
 
     from chroma_tpu.bvh.mbvh import (BRANCH, ROW_WIDTH, LAYOUT_VERSION,
-                                     TARGET_DEGREE)
+                                     TARGET_DEGREE, builder_tag)
     use_inst = _want_instancing(geometry, instancing)
     # cluster rows bake in material codes, so they join the cache key;
-    # the layout parameters AND the grouping degree version the format
-    # (a degree change alters the tree, not just the encoding)
-    name = 'mbvh%d_%d_d%d_v%d_%s' % (BRANCH, ROW_WIDTH, TARGET_DEGREE,
-                                     LAYOUT_VERSION,
-                                     'i' if use_inst else 'f') \
+    # the layout parameters AND the grouping degree AND the builder
+    # algorithm version the format (each alters the tree, not just
+    # the encoding)
+    name = 'mbvh%d_%d_d%d_v%d_%s_%s' % (BRANCH, ROW_WIDTH, TARGET_DEGREE,
+                                        LAYOUT_VERSION, builder_tag(),
+                                        'i' if use_inst else 'f') \
         + _md5(np.ascontiguousarray(material_codes)).hexdigest()[:10]
     try:
         cache = Cache()

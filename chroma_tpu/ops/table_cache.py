@@ -16,7 +16,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from chroma_tpu.bvh.mbvh import (LAYOUT_VERSION, BRANCH, ROW_WIDTH,
-                                 TARGET_DEGREE)
+                                 TARGET_DEGREE, builder_tag)
 from chroma_tpu.ops.geometry_pack import GeometryTables, DetectorTables
 
 _FORMAT_VERSION = 2
@@ -50,7 +50,7 @@ def save_tables(name, geom, det=None):
             # layout / tree shape without bumping LAYOUT_VERSION, so
             # they are part of the cache validity key
             'branch': BRANCH, 'row_width': ROW_WIDTH,
-            'target_degree': TARGET_DEGREE}
+            'target_degree': TARGET_DEGREE, 'builder': builder_tag()}
     for prefix, obj in (('geom', geom), ('det', det)):
         if obj is None:
             continue
@@ -77,7 +77,8 @@ def load_tables(name):
             or meta.get('mbvh_layout') != LAYOUT_VERSION \
             or meta.get('branch', 128) != BRANCH \
             or meta.get('row_width', 840) != ROW_WIDTH \
-            or meta.get('target_degree', 96) != TARGET_DEGREE:
+            or meta.get('target_degree', 96) != TARGET_DEGREE \
+            or meta.get('builder', 'grid') != builder_tag():
         return None
 
     def load(prefix, cls):

@@ -152,6 +152,261 @@ void segment_min_max_u32(const uint32_t* lo, const uint32_t* hi,
 
 
 // ---------------------------------------------------------------------
+// Binned-SAH wide-BVH builder (host-side replacement for the Morton
+// recursive-grid grouping; the reference's SAH gesture is the
+// per-layer area optimizer at chroma/gpu/bvh.py:269).  A binary
+// binned-SAH tree is built top-down, cut into <=leaf_max-primitive
+// "atoms", and collapsed into BRANCH-wide nodes by repeatedly
+// expanding the largest-surface-area frontier member.  Wide node ids
+// are assigned in BFS order so every node's children occupy
+// consecutive ids (the only ordering the TPU walker requires).
+
+namespace sah {
+
+struct BNode {
+    float lo[3], hi[3];
+    int64_t start, count;     // prim-order range
+    int64_t left = -1, right = -1;
+};
+
+struct Built {
+    std::vector<uint8_t> kind;         // 1 = cluster (atom)
+    std::vector<int64_t> child_start;  // internal: first child wide id;
+    std::vector<int64_t> child_count;  //   cluster: offset into leaf_order
+    std::vector<int64_t> leaf_order;
+    std::vector<float> node_lo, node_hi;
+    int64_t depth = 0;
+};
+
+static Built g_built;
+
+static inline float area(const float* lo, const float* hi) {
+    float dx = hi[0] - lo[0], dy = hi[1] - lo[1], dz = hi[2] - lo[2];
+    return dx * dy + dy * dz + dz * dx;
+}
+
+}  // namespace sah
+
+// Build the wide tree over n leaf AABBs.  branch = max children per
+// wide node, leaf_max = max leaves per cluster (1 for TLAS candidate
+// trees, BRANCH for triangle clusters).  Returns the wide node count
+// (root = id 0); out_depth[0] = tree depth in levels.  Fetch arrays
+// with sah_wide_fetch (kind/child_start/child_count sized W,
+// leaf_order sized n, node_lo/node_hi sized 3*W).
+int64_t sah_wide_build(const float* leaf_lo, const float* leaf_hi,
+                       int64_t n, int64_t branch, int64_t leaf_max,
+                       int64_t* out_depth) {
+    using namespace sah;
+    g_built = Built();
+    if (n <= 0) { if (out_depth) *out_depth = 0; return 0; }
+
+    // centroids + prim order
+    std::vector<float> cen(3 * n);
+    for (int64_t i = 0; i < n; ++i)
+        for (int k = 0; k < 3; ++k)
+            cen[3 * i + k] = 0.5f * (leaf_lo[3 * i + k]
+                                     + leaf_hi[3 * i + k]);
+    std::vector<int64_t> prim(n);
+    for (int64_t i = 0; i < n; ++i) prim[i] = i;
+
+    // ---- binary binned SAH, explicit stack --------------------------
+    std::vector<BNode> bn;
+    bn.reserve((size_t)(n > 4 ? 2 * n : 8));
+    const int NBINS = 16;
+    const int64_t stop_count = leaf_max > 16 ? leaf_max / 16 : 1;
+
+    auto make_node = [&](int64_t start, int64_t count) -> int64_t {
+        BNode nd;
+        nd.start = start; nd.count = count;
+        for (int k = 0; k < 3; ++k) { nd.lo[k] = 3.4e38f; nd.hi[k] = -3.4e38f; }
+        for (int64_t i = start; i < start + count; ++i) {
+            const int64_t p = prim[i];
+            for (int k = 0; k < 3; ++k) {
+                if (leaf_lo[3 * p + k] < nd.lo[k]) nd.lo[k] = leaf_lo[3 * p + k];
+                if (leaf_hi[3 * p + k] > nd.hi[k]) nd.hi[k] = leaf_hi[3 * p + k];
+            }
+        }
+        bn.push_back(nd);
+        return (int64_t)bn.size() - 1;
+    };
+
+    const int64_t root = make_node(0, n);
+    std::vector<int64_t> stack{root};
+    while (!stack.empty()) {
+        const int64_t ni = stack.back(); stack.pop_back();
+        const int64_t start = bn[ni].start, count = bn[ni].count;
+        if (count <= stop_count) continue;           // binary leaf
+
+        // centroid bounds over the range
+        float clo[3] = {3.4e38f, 3.4e38f, 3.4e38f};
+        float chi[3] = {-3.4e38f, -3.4e38f, -3.4e38f};
+        for (int64_t i = start; i < start + count; ++i) {
+            const float* c = &cen[3 * prim[i]];
+            for (int k = 0; k < 3; ++k) {
+                if (c[k] < clo[k]) clo[k] = c[k];
+                if (c[k] > chi[k]) chi[k] = c[k];
+            }
+        }
+        int axis = 0;
+        float ext = chi[0] - clo[0];
+        for (int k = 1; k < 3; ++k)
+            if (chi[k] - clo[k] > ext) { ext = chi[k] - clo[k]; axis = k; }
+
+        int64_t mid;
+        if (ext <= 0.0f) {
+            mid = start + count / 2;                 // degenerate: median
+        } else {
+            // bin prims by centroid
+            float blo[NBINS][3], bhi[NBINS][3];
+            int64_t bcnt[NBINS];
+            for (int b = 0; b < NBINS; ++b) {
+                bcnt[b] = 0;
+                for (int k = 0; k < 3; ++k) { blo[b][k] = 3.4e38f; bhi[b][k] = -3.4e38f; }
+            }
+            const float scale = NBINS / ext;
+            for (int64_t i = start; i < start + count; ++i) {
+                const int64_t p = prim[i];
+                int b = (int)((cen[3 * p + axis] - clo[axis]) * scale);
+                if (b < 0) b = 0;
+                if (b >= NBINS) b = NBINS - 1;
+                ++bcnt[b];
+                for (int k = 0; k < 3; ++k) {
+                    if (leaf_lo[3 * p + k] < blo[b][k]) blo[b][k] = leaf_lo[3 * p + k];
+                    if (leaf_hi[3 * p + k] > bhi[b][k]) bhi[b][k] = leaf_hi[3 * p + k];
+                }
+            }
+            // sweep: best of NBINS-1 split planes by SAH
+            float rlo[NBINS][3], rhi[NBINS][3];
+            float racc[3] = {3.4e38f, 3.4e38f, 3.4e38f};
+            float racc2[3] = {-3.4e38f, -3.4e38f, -3.4e38f};
+            int64_t rcnt[NBINS];
+            int64_t rc = 0;
+            for (int b = NBINS - 1; b >= 1; --b) {
+                for (int k = 0; k < 3; ++k) {
+                    if (blo[b][k] < racc[k]) racc[k] = blo[b][k];
+                    if (bhi[b][k] > racc2[k]) racc2[k] = bhi[b][k];
+                    rlo[b][k] = racc[k]; rhi[b][k] = racc2[k];
+                }
+                rc += bcnt[b];
+                rcnt[b] = rc;
+            }
+            float llo[3] = {3.4e38f, 3.4e38f, 3.4e38f};
+            float lhi[3] = {-3.4e38f, -3.4e38f, -3.4e38f};
+            int64_t lc = 0;
+            float best = 3.4e38f;
+            int bestb = -1;
+            for (int b = 0; b < NBINS - 1; ++b) {
+                lc += bcnt[b];
+                for (int k = 0; k < 3; ++k) {
+                    if (blo[b][k] < llo[k]) llo[k] = blo[b][k];
+                    if (bhi[b][k] > lhi[k]) lhi[k] = bhi[b][k];
+                }
+                if (lc == 0 || rcnt[b + 1] == 0) continue;
+                const float cost = area(llo, lhi) * (float)lc
+                    + area(rlo[b + 1], rhi[b + 1]) * (float)rcnt[b + 1];
+                if (cost < best) { best = cost; bestb = b; }
+            }
+            if (bestb < 0) {
+                mid = start + count / 2;
+            } else {
+                // partition by bin
+                const float split = clo[axis] + (bestb + 1) * ext / NBINS;
+                int64_t i = start, j = start + count - 1;
+                while (i <= j) {
+                    if (cen[3 * prim[i] + axis] < split) { ++i; }
+                    else { std::swap(prim[i], prim[j]); --j; }
+                }
+                mid = i;
+                if (mid == start || mid == start + count)
+                    mid = start + count / 2;         // numeric edge: median
+            }
+        }
+        const int64_t li = make_node(start, mid - start);
+        const int64_t ri = make_node(mid, start + count - mid);
+        bn[ni].left = li;
+        bn[ni].right = ri;
+        stack.push_back(li);
+        stack.push_back(ri);
+    }
+
+    // ---- collapse to wide nodes, BFS (children consecutive) ---------
+    Built& out = g_built;
+    out.leaf_order.reserve(n);
+    std::vector<int64_t> queue{root};       // binary node per wide id
+    std::vector<int64_t> level{1};
+    int64_t head = 0;
+    while (head < (int64_t)queue.size()) {
+        const int64_t b = queue[head];
+        const int64_t lev = level[head];
+        ++head;
+        if (lev > out.depth) out.depth = lev;
+        for (int k = 0; k < 3; ++k) {
+            out.node_lo.push_back(bn[b].lo[k]);
+            out.node_hi.push_back(bn[b].hi[k]);
+        }
+        if (bn[b].count <= leaf_max) {               // atom -> cluster
+            out.kind.push_back(1);
+            out.child_start.push_back((int64_t)out.leaf_order.size());
+            out.child_count.push_back(bn[b].count);
+            for (int64_t i = bn[b].start; i < bn[b].start + bn[b].count; ++i)
+                out.leaf_order.push_back(prim[i]);
+            continue;
+        }
+        // frontier expansion: largest-area internal member first
+        std::vector<int64_t> frontier{bn[b].left, bn[b].right};
+        for (;;) {
+            if ((int64_t)frontier.size() >= branch) break;
+            int64_t pick = -1;
+            float best_a = -1.0f;
+            for (size_t f = 0; f < frontier.size(); ++f) {
+                const BNode& fn = bn[frontier[f]];
+                if (fn.count <= leaf_max || fn.left < 0) continue;
+                const float a = area(fn.lo, fn.hi);
+                if (a > best_a) { best_a = a; pick = (int64_t)f; }
+            }
+            if (pick < 0) break;
+            const int64_t l = bn[frontier[pick]].left;
+            const int64_t r = bn[frontier[pick]].right;
+            frontier[pick] = l;
+            frontier.push_back(r);
+        }
+        // deterministic child order: by prim range start
+        std::sort(frontier.begin(), frontier.end(),
+                  [&](int64_t a, int64_t c) {
+                      return bn[a].start < bn[c].start;
+                  });
+        out.kind.push_back(0);
+        out.child_start.push_back((int64_t)queue.size());
+        out.child_count.push_back((int64_t)frontier.size());
+        for (int64_t f : frontier) {
+            queue.push_back(f);
+            level.push_back(lev + 1);
+        }
+    }
+    if (out_depth) *out_depth = out.depth;
+    return (int64_t)out.kind.size();
+}
+
+void sah_wide_fetch(uint8_t* kind, int64_t* child_start,
+                    int64_t* child_count, int64_t* leaf_order,
+                    float* node_lo, float* node_hi) {
+    using namespace sah;
+    std::memcpy(kind, g_built.kind.data(), g_built.kind.size());
+    std::memcpy(child_start, g_built.child_start.data(),
+                g_built.child_start.size() * sizeof(int64_t));
+    std::memcpy(child_count, g_built.child_count.data(),
+                g_built.child_count.size() * sizeof(int64_t));
+    std::memcpy(leaf_order, g_built.leaf_order.data(),
+                g_built.leaf_order.size() * sizeof(int64_t));
+    std::memcpy(node_lo, g_built.node_lo.data(),
+                g_built.node_lo.size() * sizeof(float));
+    std::memcpy(node_hi, g_built.node_hi.data(),
+                g_built.node_hi.size() * sizeof(float));
+    g_built = Built();
+}
+
+
+// ---------------------------------------------------------------------
 // BSP-tree CSG on triangle soups (native backend of chroma_tpu/csg.py;
 // the reference meshes boolean solids through gmsh/OCC,
 // chroma/rat/gen_mesh.py:56).  Thibault-Naylor polygon clipping.

@@ -48,3 +48,32 @@ def test_golden_hit_pdfs(golden):
     peak_g = int(np.argmax(golden['t_hist']))
     peak_f = int(np.argmax(fresh['t_hist']))
     assert abs(peak_g - peak_f) <= 1
+
+
+GOLDEN_FULL = os.path.join(os.path.dirname(__file__), 'golden',
+                           'demo_full_pdf.npz')
+
+
+def test_golden_full_demo():
+    """Full-demo (10,055 PMTs) hit-time PDF + detection fraction at a
+    fixed bomb configuration — the guard that traversal/driver perf
+    work cannot silently change the physics of the benchmark geometry.
+    Skips unless both the golden file and the 'full' packed-table
+    cache are available (tools/build_full_demo.py +
+    tools/make_golden.py --full)."""
+    if not os.path.exists(GOLDEN_FULL):
+        pytest.skip('full-demo golden missing; run '
+                    'tools/make_golden.py --full')
+    from tools.make_golden import simulate_full_histograms
+    golden = np.load(GOLDEN_FULL)
+    fresh = simulate_full_histograms(seed=int(golden['seed']) + 31,
+                                     nevents=int(golden['nevents']))
+    if fresh is None:
+        pytest.skip("no 'full' table cache (tools/build_full_demo.py)")
+
+    assert chi2_ndf(golden['t_hist'], fresh['t_hist']) < 2.0
+    assert abs(float(golden['det_frac'])
+               - float(fresh['det_frac'])) < 0.004
+    peak_g = int(np.argmax(golden['t_hist']))
+    peak_f = int(np.argmax(fresh['t_hist']))
+    assert abs(peak_g - peak_f) <= 1

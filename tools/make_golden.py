@@ -55,13 +55,67 @@ def simulate_histograms(seed):
                 seed=np.asarray(GOLDEN_SEED))
 
 
+# ---- full-demo golden (VERDICT r2 #9): hit-time PDF + detection
+# fraction on the 10,055-PMT benchmark geometry, so traversal/driver
+# perf work cannot silently change the physics.  Requires the 'full'
+# packed-table cache (tools/build_full_demo.py); the matching test
+# (tests/test_golden.py::test_golden_full_demo) skips without it.
+FULL_SEED = 4321
+FULL_NPHOTONS = 200000
+FULL_TIME_BINS = np.linspace(0.0, 120.0, 121)
+
+
+def simulate_full_histograms(seed, nevents=4):
+    import jax
+    from chroma_tpu import event, gpu
+
+    gg = gpu.GPUDetector.from_table_cache('full')
+    if gg is None:
+        return None
+    t_hist = np.zeros(len(FULL_TIME_BINS) - 1)
+    det = 0
+    for i in range(nevents):
+        ph = _full_bomb(FULL_NPHOTONS, seed * 1000 + i)
+        p = gpu.GPUPhotons(ph)
+        p.propagate(gg, gpu.get_rng_states(seed=seed * 77 + i))
+        flags = np.asarray(p.state['flags'])
+        detected = (flags & event.SURFACE_DETECT) != 0
+        det += int(detected.sum())
+        t_hist += np.histogram(np.asarray(p.state['t'])[detected],
+                               FULL_TIME_BINS)[0]
+    return dict(t_hist=t_hist,
+                det_frac=np.asarray(det / float(nevents * FULL_NPHOTONS)),
+                time_bins=FULL_TIME_BINS, nevents=np.asarray(nevents),
+                nphotons=np.asarray(FULL_NPHOTONS),
+                seed=np.asarray(seed))
+
+
+def _full_bomb(n, seed):
+    from chroma_tpu.generator.photon import photon_bomb
+    np.random.seed(seed)
+    return photon_bomb(n, WAVELENGTH, (0.0, 0.0, 0.0)).photons_beg
+
+
 def main():
     parser = argparse.ArgumentParser()
     parser.add_argument('--out', default=os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         'tests', 'golden', 'demo_tiny_pdf.npz'))
+    parser.add_argument('--full', action='store_true',
+                        help='write the full-demo golden instead')
     args = parser.parse_args()
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    if args.full:
+        out = args.out
+        if out.endswith('demo_tiny_pdf.npz'):
+            out = out.replace('demo_tiny_pdf.npz', 'demo_full_pdf.npz')
+        data = simulate_full_histograms(FULL_SEED)
+        if data is None:
+            raise SystemExit("no 'full' table cache; run "
+                             "tools/build_full_demo.py first")
+        np.savez_compressed(out, **data)
+        print('wrote', out, 'det_frac=%.5f' % float(data['det_frac']))
+        return
     data = simulate_histograms(GOLDEN_SEED)
     np.savez_compressed(args.out, **data)
     print('wrote', args.out, 'nhit=', int(data['nhit']),
