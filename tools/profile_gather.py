@@ -12,6 +12,7 @@ Questions this answers (ARCHITECTURE.md cost-model v3):
 
 Usage: python tools/profile_gather.py [sections]   (default: all)
 """
+import os
 import sys
 import time
 
@@ -47,7 +48,10 @@ def make_table(nrows, width_words, seed=0):
                               dtype=jnp.int32).astype(jnp.uint32)
 
 
-LOOP = 8
+# dispatch on the tunneled platform costs ~26-65 ms per CALL: amortize
+# over enough in-loop iterations that per-iteration figures are real.
+LOOP = int(os.environ.get('GATHER_LOOP', 8))
+INNER = int(os.environ.get('GATHER_INNER', 64))
 
 
 def g1_width():
@@ -156,15 +160,15 @@ def g4_narrow():
             def body(i, acc):
                 r = rows[(ptr + i) % nrows]
                 return acc + jnp.sum(r[:, :4].astype(jnp.uint32))
-            return jax.lax.fori_loop(0, 64, body,
+            return jax.lax.fori_loop(0, INNER, body,
                                      jnp.zeros((), jnp.uint32))
 
         ptr = jax.random.randint(kk, (ng,), 0, nrows, dtype=jnp.int32)
         ptr.block_until_ready()
         t = timeit(lambda: g(rows, ptr), number=2)
-        per = t / (ng * 64) * 1e9
+        per = t / (ng * INNER) * 1e9
         log(f'G4 n={ng:7d}: {per:6.2f} ns/row '
-            f'({t/64*1e6:7.1f} us/iter)')
+            f'({t/INNER*1e6:7.1f} us/iter)')
 
 
 def g5_real_table():
@@ -182,15 +186,15 @@ def g5_real_table():
             def body(i, acc):
                 r = rows[(ptr + i * 37) % nrows]
                 return acc + jnp.sum(r[:, :4].astype(jnp.uint32))
-            return jax.lax.fori_loop(0, 64, body,
+            return jax.lax.fori_loop(0, INNER, body,
                                      jnp.zeros((), jnp.uint32))
 
         ptr = jax.random.randint(kk, (ng,), 0, nrows, dtype=jnp.int32)
         ptr.block_until_ready()
         t = timeit(lambda: g(rows, ptr), number=3)
-        per = t / (ng * 64) * 1e9
+        per = t / (ng * INNER) * 1e9
         log(f'G5 width={words*4:6d}B: {per:6.2f} ns/row '
-            f'({words*4/per:.0f} GB/s, {t/64*1e6:7.1f} us/pass)')
+            f'({words*4/per:.0f} GB/s, {t/INNER*1e6:7.1f} us/pass)')
         del rows
 
 
@@ -209,16 +213,16 @@ def g6_lanes():
                 def body(i, acc):
                     r = rows[(ptr + i * 37) % nrows]
                     return acc + jnp.sum(r[:, :4].astype(jnp.uint32))
-                return jax.lax.fori_loop(0, 64, body,
+                return jax.lax.fori_loop(0, INNER, body,
                                          jnp.zeros((), jnp.uint32))
 
             ptr = jax.random.randint(kk, (ng,), 0, nrows,
                                      dtype=jnp.int32)
             ptr.block_until_ready()
             t = timeit(lambda: g(rows, ptr), number=3)
-            per = t / (ng * 64) * 1e9
+            per = t / (ng * INNER) * 1e9
             log(f'G6 width={words*4:5d}B n={ng:8d}: {per:6.2f} ns/row '
-                f'({t/64*1e6:8.1f} us/pass)')
+                f'({t/INNER*1e6:8.1f} us/pass)')
         del rows
 
 

@@ -39,7 +39,9 @@ def timeit(fn, number=3, warm=1):
     return min(ts)
 
 
-LOOP = 64
+# dispatch on the tunneled platform costs ~26-65 ms per CALL: amortize
+# over enough iterations that per-iteration figures are real
+LOOP = int(os.environ.get('SERVICE_LOOP', 1024))
 
 
 def loopit(fn_body, init):

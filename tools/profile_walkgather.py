@@ -25,7 +25,9 @@ from chroma_tpu import gpu
 from chroma_tpu.benchmark import _isotropic_photons, _sync
 from chroma_tpu.ops import mbvh
 
-K = 64
+# dispatch on the tunneled platform costs ~26-65 ms per CALL: amortize
+# over enough iterations that per-iteration figures are real
+K = int(os.environ.get('WALKGATHER_K', 512))
 
 
 def main():
@@ -62,8 +64,8 @@ def run_width(geom, N):
             lht=jnp.full(N, -1, jnp.int32),
             iters=jnp.zeros((), jnp.int32),
             chk=jnp.zeros(N, jnp.uint32),
-            dummy_ptr=(jnp.arange(N, dtype=jnp.uint32) * 2654435761)
-            % jnp.uint32(R),
+            dummy_ptr=(jnp.arange(N, dtype=jnp.uint32)
+                       * jnp.uint32(2654435761)) % jnp.uint32(R),
             **mbvh.extra_state(geom, N),
         )
 
