@@ -48,8 +48,20 @@ import jax.numpy as jnp
 
 from chroma_tpu import event
 from chroma_tpu.ops import mbvh
+from chroma_tpu.ops import mbvh_pallas as MP
 from chroma_tpu.ops.mbvh import NMASK_WORDS
 from chroma_tpu.ops.propagate import physics_update, NDRAWS
+
+
+def _use_pallas_default():
+    """The Pallas walker is the production traversal on real TPUs; the
+    jnp walker remains the portable path (CPU backend, virtual
+    meshes — pallas interpret mode is far too slow for them).
+    CHROMA_TPU_PALLAS=0/1 overrides."""
+    env = os.environ.get('CHROMA_TPU_PALLAS')
+    if env is not None:
+        return env != '0'
+    return jax.default_backend() == 'tpu'
 
 SERVICE_EVERY = 6       # walker iterations between physics passes
 DEFAULT_WIDTH = 8192    # total lane width across chains
@@ -63,6 +75,9 @@ DRAIN_SHRINK = (8, 64)  # lane-compaction cascade for the pool-dry tail
 _PHOTON_KEYS = ('pos', 'dir', 'pol', 'wavelength', 't', 'weight',
                 'flags', 'last_hit_triangle', 'evidx', 'index')
 _WALK_RESET = ('best_tri', 'min_dist', 'best_norm', 'best_mat')
+# pallas-walker state keys: transposed (rows, lanes) arrays
+_W_KEYS = ('W_masks', 'W_bases', 'W_tcodes', 'W_uregs', 'W_fregs',
+           'W_iregs')
 
 
 def _pack(state):
@@ -116,8 +131,31 @@ def _reseed(lane, need, geom):
     return out
 
 
+def _reseed_pallas(lane, need, geom):
+    """Pallas-mode _reseed: restart the walk (root children slab-tested
+    + first child popped inline in MP.seed) for lanes in ``need``."""
+    depth = int(geom.mbvh_depth)
+    W2 = MP.seed(geom, depth, lane['pos'].T, lane['dir'].T,
+                 lane['last_hit_triangle'], need)
+    out = dict(lane)
+    nd = need[None, :]
+    for k in _W_KEYS:
+        out[k] = jnp.where(nd, W2[k[2:]], lane[k])
+    return out
+
+
+def _pallas_results(lane):
+    """Traversal results for the service pass, pallas-mode lanes."""
+    W = {k[2:]: lane[k] for k in _W_KEYS}
+    r = MP.results(W)
+    w = lane['pos'].shape[0]
+    return dict(triangle=r['triangle'], distance=r['distance'],
+                normal=r['normal'], material_code=r['material_code'],
+                incomplete=jnp.zeros(w, bool))
+
+
 def _service(lane, pool, next_ptr, key, geom, max_steps, scatter_first,
-             use_weights, idx_base=0):
+             use_weights, idx_base=0, pal=False):
     """Physics + retire + refill pass over all lanes (predicated).
     ``pool`` is the packed (n, 16) photon pool (see _pack) — for a
     pipelined chain, its private pool segment, with ``idx_base`` the
@@ -130,7 +168,10 @@ def _service(lane, pool, next_ptr, key, geom, max_steps, scatter_first,
 
     holding = lane['holding']
     alive = (lane['flags'] & jnp.uint32(event.TERMINAL_FLAGS)) == 0
-    trav_done = ~jnp.any(lane['masks'] != 0, axis=(1, 2))
+    if pal:
+        trav_done = lane['W_uregs'][MP.U_ACT] == 0
+    else:
+        trav_done = ~jnp.any(lane['masks'] != 0, axis=(1, 2))
 
     # NaN guard (reference: chroma/cuda/propagate.cu:262).  NaN lanes
     # were never reseeded, so they are trav_done with an empty result.
@@ -144,9 +185,13 @@ def _service(lane, pool, next_ptr, key, geom, max_steps, scatter_first,
                       lane['flags'])
     active = ready & ~bad
 
-    res = dict(triangle=lane['best_tri'], distance=lane['min_dist'],
-               normal=lane['best_norm'], material_code=lane['best_mat'],
-               incomplete=jnp.zeros(w, bool))
+    if pal:
+        res = _pallas_results(lane)
+    else:
+        res = dict(triangle=lane['best_tri'], distance=lane['min_dist'],
+                   normal=lane['best_norm'],
+                   material_code=lane['best_mat'],
+                   incomplete=jnp.zeros(w, bool))
     sf = jnp.where(lane['step'] == 0, scatter_first, 0)
     pstate = {k: lane[k] for k in _PHOTON_KEYS}
     new_state = physics_update(pstate, res, geom, u, flags, active,
@@ -181,12 +226,15 @@ def _service(lane, pool, next_ptr, key, geom, max_steps, scatter_first,
                     + jnp.sum(lane['pos'], axis=1))
     need = lane['holding'] & alive3 & ok & trav_done \
         & (lane['step'] < max_steps)
-    lane = _reseed(lane, need, geom)
+    lane = _reseed_pallas(lane, need, geom) if pal \
+        else _reseed(lane, need, geom)
     return lane, pool, next_ptr, key
 
 
 def _compact_lanes(lane, m):
-    """Stable-partition holding lanes to the front; keep the first m."""
+    """Stable-partition holding lanes to the front; keep the first m.
+    Pallas-walker arrays (``W_`` keys) are (rows, lanes)-transposed and
+    compact along axis 1."""
     n = lane['holding'].shape[0]
     holding = lane['holding']
     cnt = jnp.cumsum(holding.astype(jnp.int32))
@@ -195,16 +243,31 @@ def _compact_lanes(lane, m):
     src = jnp.zeros(n, jnp.int32).at[dest].set(
         jnp.arange(n, dtype=jnp.int32))
     idx = src[:m]
-    return {k: (v if v.ndim == 0 else v[idx]) for k, v in lane.items()}
+    return {k: (v if v.ndim == 0
+                else (v[:, idx] if k.startswith('W_') else v[idx]))
+            for k, v in lane.items()}
 
 
-def _make_lane(state, geom, lo, w, depth):
+def _make_lane(state, geom, lo, w, depth, pal=False):
     """Initial lane state for one chain: pool photons [lo, lo+w)."""
     lane = {k: jax.lax.slice_in_dim(v, lo, lo + w) for k, v in
             state.items()}
     lane.update(
         holding=jnp.ones(w, bool),
         step=jnp.zeros(w, jnp.int32),
+        iters=jnp.zeros((), jnp.int32),
+        nactive=jnp.zeros((), jnp.int32),
+    )
+    alive = (lane['flags'] & jnp.uint32(event.TERMINAL_FLAGS)) == 0
+    ok = ~jnp.isnan(jnp.sum(lane['dir'], axis=1)
+                    + jnp.sum(lane['pos'], axis=1))
+    if pal:
+        W = MP.seed(geom, int(geom.mbvh_depth), lane['pos'].T,
+                    lane['dir'].T, lane['last_hit_triangle'],
+                    alive & ok)
+        lane.update({'W_' + k: v for k, v in W.items()})
+        return lane
+    lane.update(
         masks=jnp.zeros((w, depth, NMASK_WORDS), jnp.uint32),
         bases=jnp.zeros((w, depth), jnp.uint32),
         tcodes=jnp.full((w, depth, mbvh.BRANCH), 65535, jnp.uint16),
@@ -216,21 +279,18 @@ def _make_lane(state, geom, lo, w, depth):
         noid=jnp.zeros((w, 3), jnp.float32),
         lht=lane['last_hit_triangle'],
         org=lane['pos'],
-        iters=jnp.zeros((), jnp.int32),
-        nactive=jnp.zeros((), jnp.int32),
         **mbvh.extra_state(geom, w),
     )
-    alive = (lane['flags'] & jnp.uint32(event.TERMINAL_FLAGS)) == 0
-    ok = ~jnp.isnan(jnp.sum(lane['dir'], axis=1)
-                    + jnp.sum(lane['pos'], axis=1))
     return _reseed(lane, alive & ok, geom)
 
 
 @partial(jax.jit, static_argnames=('max_steps', 'use_weights', 'width',
-                                   'service_every', 'chains'))
+                                   'service_every', 'chains',
+                                   'use_pallas', 'prune'))
 def propagate_fused(state, geom, key, max_steps=100, use_weights=False,
                     scatter_first=0, width=None,
-                    service_every=SERVICE_EVERY, chains=None):
+                    service_every=SERVICE_EVERY, chains=None,
+                    use_pallas=None, prune=None):
     """Propagate all photons in ``state`` to termination, fused.
 
     Returns ``(final_state, stats)`` where ``stats`` is an int32[4]
@@ -246,6 +306,7 @@ def propagate_fused(state, geom, key, max_steps=100, use_weights=False,
     private photon-pool segment.  Defaults to CHROMA_TPU_CHAINS (2),
     dropping to 1 when the batch is too small to split.
     """
+    pal = _use_pallas_default() if use_pallas is None else use_pallas
     caller_index = state['index']
     state = dict(state, index=jnp.arange(state['pos'].shape[0],
                                          dtype=jnp.uint32))
@@ -268,7 +329,7 @@ def propagate_fused(state, geom, key, max_steps=100, use_weights=False,
 
     pools = [jax.lax.slice_in_dim(packed, seg_lo[c], seg_lo[c + 1])
              for c in range(nchains)]
-    lanes = [_make_lane(state, geom, seg_lo[c], w_c[c], depth)
+    lanes = [_make_lane(state, geom, seg_lo[c], w_c[c], depth, pal=pal)
              for c in range(nchains)]
     next_ptrs = [jnp.asarray(w_c[c], jnp.int32) for c in range(nchains)]
     keys = list(jax.random.split(key, nchains))
@@ -276,8 +337,37 @@ def propagate_fused(state, geom, key, max_steps=100, use_weights=False,
     # stats: [services, photon_steps, lane_iters, pending_lane_iters]
     stats = jnp.zeros(4, jnp.int32)
 
-    body_walk = mbvh._walk_body(geom, depth)
-    body_walk_np = mbvh._walk_body(geom, depth, do_prune=False)
+    # lazy-prune cadence: 'half' prunes on alternate iterations (r2
+    # default), 'off' never (cheapest body; relies on nearest-first
+    # popping + the SAH tree), 'on' every iteration.  The pallas
+    # walker integrates (per-level) pruning into every pop for free —
+    # its pop sequence matches the jnp walker at prune='on'.
+    if prune is None:
+        prune = os.environ.get('CHROMA_TPU_PRUNE', 'half')
+    body_walk = mbvh._walk_body(geom, depth, do_prune=(prune != 'off'))
+    body_walk_np = mbvh._walk_body(geom, depth,
+                                   do_prune=(prune == 'on'))
+
+    if pal:
+        instanced = bool(geom.mbvh_instanced)
+        p_depth = int(geom.mbvh_depth)
+        sq = mbvh.tquant_scale(geom)
+        rows = geom.mbvh_rows
+
+        def pallas_step(lane):
+            W = {k[2:]: lane[k] for k in _W_KEYS}
+            ptr = jax.lax.bitcast_convert_type(W['uregs'][MP.U_PTR],
+                                               jnp.int32)
+            row_t = rows[ptr].T
+            W = MP.walk_iter(row_t, W, p_depth, instanced, sq,
+                             do_prune=(prune != 'off'))
+            out = dict(lane)
+            out.update({'W_' + k: v for k, v in W.items()})
+            out['iters'] = lane['iters'] + 1
+            out['nactive'] = lane['nactive'] + jnp.sum(
+                jax.lax.bitcast_convert_type(
+                    W['uregs'][MP.U_ACT], jnp.int32))
+            return out
 
     def make_body():
         def body(carry):
@@ -290,12 +380,19 @@ def propagate_fused(state, geom, key, max_steps=100, use_weights=False,
             # scheduler can ride chain A's row fetch under chain B's
             # triangle tests (the chains share no state)
             for i in range(service_every):
-                wf = body_walk if i % 2 == 0 else body_walk_np
+                if pal:
+                    wf = pallas_step
+                else:
+                    wf = body_walk if i % 2 == 0 else body_walk_np
                 for c in range(len(lanes)):
                     lanes[c] = wf(lanes[c])
             for c in range(len(lanes)):
                 holding = lanes[c]['holding']
-                pending = jnp.any(lanes[c]['masks'] != 0, axis=(1, 2))
+                if pal:
+                    pending = lanes[c]['W_uregs'][MP.U_ACT] != 0
+                else:
+                    pending = jnp.any(lanes[c]['masks'] != 0,
+                                      axis=(1, 2))
                 ready = holding & ~pending
                 stats = stats + jnp.stack(
                     [jnp.asarray(1 if c == 0 else 0, jnp.int32),
@@ -305,7 +402,7 @@ def propagate_fused(state, geom, key, max_steps=100, use_weights=False,
                 lanes[c], pools[c], next_ptrs[c], keys[c] = _service(
                     lanes[c], pools[c], next_ptrs[c], keys[c], geom,
                     max_steps, scatter_first, use_weights,
-                    idx_base=int(seg_lo[c]))
+                    idx_base=int(seg_lo[c]), pal=pal)
             return (tuple(lanes), tuple(pools), tuple(next_ptrs),
                     tuple(keys), stats)
         return body

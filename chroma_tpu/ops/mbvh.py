@@ -463,10 +463,14 @@ def _scatter_back(state, sub, idx):
     return out
 
 
-@partial(jax.jit, static_argnames=('max_iters',))
 def intersect_mesh(origin, direction, geom, last_hit_triangle=None,
                    active=None, max_iters=65536):
     """Closest-hit intersection against the MBVH.
+
+    On real TPUs this dispatches to the Pallas walker
+    (ops/mbvh_pallas, bit-identical results, ~2-3x faster body);
+    elsewhere — and under CHROMA_TPU_PALLAS=0 — it runs the jnp
+    cascade walker below.
 
     Args:
       origin, direction: (N,3) f32, direction normalized.
@@ -480,6 +484,23 @@ def intersect_mesh(origin, direction, geom, last_hit_triangle=None,
       material_code: (N,) u32 packed material/surface code
       incomplete: (N,) bool rays stopped by max_iters (callers retry)
     """
+    import os
+    env = os.environ.get('CHROMA_TPU_PALLAS')
+    use_pallas = (env != '0') if env is not None \
+        else jax.default_backend() == 'tpu'
+    if use_pallas:
+        from chroma_tpu.ops import mbvh_pallas
+        return mbvh_pallas.intersect_mesh_pallas(
+            origin, direction, geom, last_hit_triangle=last_hit_triangle,
+            active=active, max_iters=min(max_iters, 65536))
+    return _intersect_mesh_jnp(origin, direction, geom,
+                               last_hit_triangle=last_hit_triangle,
+                               active=active, max_iters=max_iters)
+
+
+@partial(jax.jit, static_argnames=('max_iters',))
+def _intersect_mesh_jnp(origin, direction, geom, last_hit_triangle=None,
+                        active=None, max_iters=65536):
     n = origin.shape[0]
     if last_hit_triangle is None:
         last_hit_triangle = jnp.full(n, -1, jnp.int32)

@@ -112,7 +112,7 @@ def test_cascade_matches_plain_walker():
     try:
         mbvh_ops.CASCADE_MIN_N = 1 << 30     # force the plain loop
         res_p = jax.jit(
-            mbvh_ops.intersect_mesh.__wrapped__,
+            mbvh_ops._intersect_mesh_jnp.__wrapped__,
             static_argnames=('max_iters',))(origin, direction, geom,
                                             active=active)
     finally:

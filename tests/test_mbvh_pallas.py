@@ -1,0 +1,127 @@
+"""Pallas walker (ops/mbvh_pallas) bit-exactness vs the jnp walker.
+
+Runs in pallas interpret mode on the CPU backend; the same kernel is
+Mosaic-compiled on real TPUs (tools/profile_pallas_walk.py checks
+exactness there too).
+"""
+import numpy as np
+import pytest
+
+import tests.conftest  # noqa: F401
+import jax.numpy as jnp
+
+from chroma_tpu import make, geometry
+from chroma_tpu.ops.geometry_pack import pack_geometry
+from chroma_tpu.ops import mbvh as mbvh_ops
+from chroma_tpu.ops import mbvh_pallas as MP
+
+
+def _rays(n, seed=0, radius=0.0):
+    rng = np.random.RandomState(seed)
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    o = (rng.uniform(-radius, radius, size=(n, 3)).astype(np.float32)
+         if radius else np.zeros((n, 3), np.float32))
+    return jnp.asarray(o), jnp.asarray(d)
+
+
+def _assert_same(ref, out, n):
+    for k in ('triangle', 'distance', 'material_code'):
+        a, b = np.asarray(ref[k]), np.asarray(out[k])
+        assert np.array_equal(a, b, equal_nan=True), \
+            f'{k}: {np.sum(a != b)}/{n} mismatch'
+    assert np.array_equal(np.asarray(ref['normal']),
+                          np.asarray(out['normal']))
+
+
+def _pack_single(mesh):
+    from tests.test_mbvh import pack_geometry_for
+    return pack_geometry_for(mesh)
+
+
+def test_pallas_matches_jnp_flat():
+    geom = _pack_single(make.sphere(50.0, nsteps=24))
+    n = 256
+    org, dirv = _rays(n)
+    ref = mbvh_ops.intersect_mesh(org, dirv, geom)
+    out = MP.intersect_mesh_pallas(org, dirv, geom, block=128)
+    assert int(np.sum(np.asarray(ref['triangle']) >= 0)) == n
+    _assert_same(ref, out, n)
+
+
+def test_pallas_matches_jnp_instanced():
+    from chroma_tpu.demo import tiny
+    geo = tiny()
+    geo.flatten()
+    geom = pack_geometry(geo)
+    assert geom.mbvh_instanced
+    n = 256
+    org, dirv = _rays(n, seed=3)
+    ref = mbvh_ops.intersect_mesh(org, dirv, geom)
+    out = MP.intersect_mesh_pallas(org, dirv, geom, block=128)
+    _assert_same(ref, out, n)
+
+
+def test_pallas_respects_lht_and_active():
+    geom = _pack_single(make.sphere(50.0, nsteps=16))
+    n = 128
+    org, dirv = _rays(n, seed=5)
+    ref0 = mbvh_ops.intersect_mesh(org, dirv, geom)
+    lht = jnp.asarray(ref0['triangle'])
+    active = jnp.asarray(np.arange(n) % 2 == 0)
+    ref = mbvh_ops.intersect_mesh(org, dirv, geom,
+                                  last_hit_triangle=lht, active=active)
+    out = MP.intersect_mesh_pallas(org, dirv, geom,
+                                   last_hit_triangle=lht, active=active,
+                                   block=128)
+    _assert_same(ref, out, n)
+    # inactive lanes report a miss
+    tri = np.asarray(out['triangle'])
+    assert (tri[1::2] == -1).all()
+
+
+def test_fused_pallas_matches_jnp():
+    """The fused driver must produce BIT-IDENTICAL propagation with
+    the pallas walker and the jnp walker (same pops -> same service
+    cadence -> same RNG draws)."""
+    import jax
+    from chroma_tpu.demo import tiny
+    from chroma_tpu.ops.fused import propagate_fused
+    from chroma_tpu.generator.photon import photon_bomb
+
+    geo = tiny()
+    geo.flatten()
+    geom = pack_geometry(geo)
+    n = 512
+    np.random.seed(7)
+    ph = photon_bomb(n, 400.0, (0.0, 0.0, 0.0)).photons_beg
+    state = dict(
+        pos=jnp.asarray(ph.pos, jnp.float32),
+        dir=jnp.asarray(ph.dir, jnp.float32),
+        pol=jnp.asarray(ph.pol, jnp.float32),
+        wavelength=jnp.asarray(ph.wavelengths, jnp.float32),
+        t=jnp.asarray(ph.t, jnp.float32),
+        weight=jnp.asarray(ph.weights, jnp.float32),
+        flags=jnp.asarray(ph.flags, jnp.uint32),
+        last_hit_triangle=jnp.full(n, -1, jnp.int32),
+        evidx=jnp.zeros(n, jnp.uint32),
+        index=jnp.arange(n, dtype=jnp.uint32),
+    )
+    key = jax.random.PRNGKey(11)
+    # prune='off' in both: pruning changes which iteration a lane
+    # drains on (the pallas pop's threshold is one row fresher), which
+    # re-pairs RNG draws; with it off the pop sequences — and so the
+    # service cadence and every draw — are exactly equal
+    out_j, stats_j = propagate_fused(state, geom, key, max_steps=20,
+                                     width=n, use_pallas=False,
+                                     prune='off')
+    out_p, stats_p = propagate_fused(state, geom, key, max_steps=20,
+                                     width=n, use_pallas=True,
+                                     prune='off')
+    for k in out_j:
+        a, b = np.asarray(out_j[k]), np.asarray(out_p[k])
+        assert np.array_equal(a, b, equal_nan=True), \
+            f'{k}: {np.sum(a != b)}/{a.size} differ'
+    # photon_steps and services must agree too (same cadence)
+    assert int(stats_j[0]) == int(stats_p[0])
+    assert int(stats_j[1]) == int(stats_p[1])
