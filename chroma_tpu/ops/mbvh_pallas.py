@@ -49,7 +49,9 @@ from chroma_tpu.bvh.mbvh import (ROW_WIDTH, HDR_KIND, HDR_BASE, BOX_OFF,
                                  KIND_CLUSTER, KIND_LOCAL, KIND_ENTRY)
 from chroma_tpu.ops.mbvh import tquant_scale
 
-DEFAULT_BLOCK = 256     # lanes per kernel block
+import os
+DEFAULT_BLOCK = int(os.environ.get('CHROMA_TPU_PALLAS_BLOCK', 128))
+                        # lanes per kernel block
 
 # Mosaic only lowers on real TPUs; everywhere else (the CPU test
 # backend, the virtual multi-chip mesh) run the kernel interpreted.
