@@ -76,8 +76,7 @@ _PHOTON_KEYS = ('pos', 'dir', 'pol', 'wavelength', 't', 'weight',
                 'flags', 'last_hit_triangle', 'evidx', 'index')
 _WALK_RESET = ('best_tri', 'min_dist', 'best_norm', 'best_mat')
 # pallas-walker state keys: transposed (rows, lanes) arrays
-_W_KEYS = ('W_masks', 'W_bases', 'W_tcodes', 'W_uregs', 'W_fregs',
-           'W_iregs')
+_W_KEYS = tuple('W_' + k for k in MP.W_KEYS)
 
 
 def _pack(state):

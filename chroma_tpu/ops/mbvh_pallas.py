@@ -9,8 +9,7 @@ module keeps the row fetch in XLA (its gather hits ~528 GB/s random-row
 read, unreachable from in-kernel per-lane DMAs) and fuses EVERYTHING
 else — triangle tests, slab tests, instancing, level scan, pruning,
 nearest-child pop — into one Pallas kernel whose intermediates live in
-VMEM/registers.  HBM traffic per lane-iteration drops to the row
-(3.4 KB) + the walker state (~2.5 KB), a ~20-25 ns floor.
+VMEM/registers.
 
 Layout: everything the kernel touches is TRANSPOSED — (words, lanes)
 with lanes on the 128-wide minor axis — so per-lane scalars are
@@ -22,16 +21,31 @@ row popped by the PREVIOUS call and ends by popping the next child
     row_t = rows[ptr].T
     state = walk_kernel(state, row_t)     # updates ptr in-place
 
+Pending-set representation: there are NO per-level bitmasks.  A
+level's pending set lives entirely in its quantized entry codes
+(``tcodes``): a slot is pending iff its code is a valid 16-bit
+distance (< _SENT); absent and already-popped slots carry the _SENT
+sentinel.  Pops write _SENT; pushes overwrite the whole level.  This
+folds the mask bookkeeping the jnp walker needs (it keeps codes for
+ALL slots and bits for pending ones) into the min-reductions the pop
+does anyway, and lets one fused per-level loop do push-merge, prune,
+deepest-live-level scan and nearest-child argmin together.  Pruning is
+free: a level is live iff its nearest pending code can still beat the
+best hit; since the threshold (floor(min_dist*sq)+1) only decreases
+during a walk, dead levels stay dead without being cleared.
+
+The ray registers (origin/direction/inverse/noid — constant between
+reseeds) are a read-only kernel input, not aliased state: the kernel
+never writes them back, saving 12 rows of output DMA per iteration.
+
 Traversal semantics are identical to ops/mbvh._walk_body (itself a
 vector re-engineering of the per-thread stack walk in
 chroma/cuda/mesh.h:41): nearest-first popping via 16-bit quantized
-entry distances, lazy pruning against the best hit (here whole levels
-are cleared when their nearest pending child is provably beyond the
-best hit — pops always take the level minimum, so per-child pruning
-and per-level pruning visit exactly the same rows), TLAS/BLAS
+entry distances, lazy pruning against the best hit, TLAS/BLAS
 instancing with rigid ray transforms at entry rows.  Final results are
 bit-identical to the jnp walker (tests/test_mbvh_pallas.py).
 """
+import os
 from functools import partial
 
 import numpy as np
@@ -43,13 +57,12 @@ from jax.experimental.pallas import tpu as pltpu
 from chroma_tpu.bvh.mbvh import (ROW_WIDTH, HDR_KIND, HDR_BASE, BOX_OFF,
                                  QORIGIN_OFF, QSCALE_OFF, QVERT_OFF,
                                  QVERT_WORDS_PER_COMP, TRI_ID_OFF,
-                                 MAT_OFF, BRANCH, NMASK_WORDS,
+                                 MAT_OFF, BRANCH,
                                  IBOX_ORIGIN_OFF, IBOX_SCALE_OFF,
                                  XFORM_OFF, TRI_BASE_OFF,
                                  KIND_CLUSTER, KIND_LOCAL, KIND_ENTRY)
 from chroma_tpu.ops.mbvh import tquant_scale
 
-import os
 DEFAULT_BLOCK = int(os.environ.get('CHROMA_TPU_PALLAS_BLOCK', 128))
                         # lanes per kernel block
 
@@ -61,15 +74,15 @@ def _interpret():
 
 # uregs rows
 U_PTR, U_ACT, U_LVL, U_TRI, U_MAT, U_LHT, U_TBASE, U_PAD = range(8)
-# fregs rows: org 0:3, dir 3:6, inv 6:9, noid 9:12, min_dist 12,
-# best_norm 13:16
-F_ORG, F_DIR, F_INV, F_NOID = 0, 3, 6, 9
-F_MIN, F_NRM = 12, 13
+# rays rows (read-only input): org 0:3, dir 3:6, inv 6:9, noid 9:12
+R_ORG, R_DIR, R_INV, R_NOID = 0, 3, 6, 9
+# hregs rows (hit state): min_dist 0, best_norm 1:4
+H_MIN, H_NRM = 0, 1
 # iregs rows (instanced only): irot 0:9, iorg 9:12, idir 12:15,
 # iinv 15:18, inoid 18:21, pad 21:24
 I_ROT, I_ORG, I_DIR, I_INV, I_NOID, I_ROWS = 0, 9, 12, 15, 18, 24
 
-_BIG = 1 << 17
+_SENT = 1 << 16          # tcode sentinel: slot absent or already popped
 
 
 def _f32(x):
@@ -84,30 +97,6 @@ def _i32(x):
     return jax.lax.bitcast_convert_type(x, jnp.int32)
 
 
-def _bits_of(words):
-    """(NW, B) u32 mask words -> (BRANCH, B) bool; slot s = bit s%32 of
-    word s//32 (the ops/mbvh convention)."""
-    nw, b = words.shape
-    bit = (jnp.uint32(1) << jax.lax.broadcasted_iota(
-        jnp.uint32, (32, b), 0))
-    return jnp.concatenate(
-        [(jnp.broadcast_to(words[w:w + 1, :], (32, b)) & bit) != 0
-         for w in range(nw)], axis=0)
-
-
-def _words_of(bits):
-    """(BRANCH, B) bool -> (NW, B) u32 words (inverse of _bits_of).
-    Summed in i32 (Mosaic has no unsigned reductions); the bits are
-    disjoint so sum == or, and the pattern survives the sign bit."""
-    nb, b = bits.shape
-    bit = _i32(jnp.uint32(1) << jax.lax.broadcasted_iota(
-        jnp.uint32, (32, b), 0))
-    return jnp.concatenate(
-        [_u32(jnp.sum(jnp.where(bits[w * 32:(w + 1) * 32, :], bit, 0),
-                      axis=0, keepdims=True))
-         for w in range(nb // 32)], axis=0)
-
-
 def _make_kernel(depth, instanced, do_prune=True):
     """Kernel body closure for a static (depth, instanced, do_prune).
 
@@ -119,9 +108,9 @@ def _make_kernel(depth, instanced, do_prune=True):
     one row fresher), which only re-pairs RNG draws."""
     D = depth
 
-    def kernel(sq_ref, row_ref, masks_ref, bases_ref, tcodes_ref,
-               uregs_ref, fregs_ref, iregs_ref, omasks_ref, obases_ref,
-               otcodes_ref, ouregs_ref, ofregs_ref, oiregs_ref):
+    def kernel(sq_ref, row_ref, rays_ref, tcodes_ref, bases_ref,
+               uregs_ref, hregs_ref, iregs_ref, otcodes_ref, obases_ref,
+               ouregs_ref, ohregs_ref, oiregs_ref):
         sq = sq_ref[0, 0]
         b = row_ref.shape[1]
         iota_slot = jax.lax.broadcasted_iota(jnp.int32, (BRANCH, b), 0)
@@ -134,11 +123,11 @@ def _make_kernel(depth, instanced, do_prune=True):
         is_cluster = act & ((hdr & jnp.uint32(KIND_CLUSTER)) != 0)
         is_internal = act & ((hdr & jnp.uint32(KIND_CLUSTER)) == 0)
 
-        org = fregs_ref[F_ORG:F_ORG + 3, :]
-        dirv = fregs_ref[F_DIR:F_DIR + 3, :]
-        inv_dir = fregs_ref[F_INV:F_INV + 3, :]
-        noid = fregs_ref[F_NOID:F_NOID + 3, :]
-        min_dist = fregs_ref[F_MIN:F_MIN + 1, :]
+        org = rays_ref[R_ORG:R_ORG + 3, :]
+        dirv = rays_ref[R_DIR:R_DIR + 3, :]
+        inv_dir = rays_ref[R_INV:R_INV + 3, :]
+        noid = rays_ref[R_NOID:R_NOID + 3, :]
+        min_dist = hregs_ref[H_MIN:H_MIN + 1, :]
         lht = _i32(uregs_ref[U_LHT:U_LHT + 1, :])
 
         # ---- instancing: entry rows move the ray into the instance
@@ -251,7 +240,7 @@ def _make_kernel(depth, instanced, do_prune=True):
             nl = [jnp.where(frame_local, nw3[k], nl[k]) for k in range(3)]
         norm_new = jnp.concatenate(nl, axis=0)             # (3, B)
         best_norm = jnp.where(improved, norm_new,
-                              fregs_ref[F_NRM:F_NRM + 3, :])
+                              hregs_ref[H_NRM:H_NRM + 3, :])
         mats = row[MAT_OFF:MAT_OFF + BRANCH, :]
         best_mat = jnp.where(improved, _u32(pick(_i32(mats))),
                              uregs_ref[U_MAT:U_MAT + 1, :])
@@ -276,76 +265,56 @@ def _make_kernel(depth, instanced, do_prune=True):
             tmax = big if tmax is None else jnp.minimum(tmax, big)
         tmin = jnp.maximum(tmin, 0.0)
         b_ok = (tmin <= tmax) & (tmin <= min_dist) & (iota_slot < count)
-        hit_bits = b_ok & is_internal                      # (BRANCH, B)
-        hitwords = _words_of(hit_bits)                     # (NW, B)
         newcodes = jnp.where(
             b_ok, jnp.clip(jnp.floor(tmin * sq), 0.0, 65535.0),
-            65535.0).astype(jnp.int32)                     # (BRANCH, B)
-
+            float(_SENT)).astype(jnp.int32)                # (BRANCH, B)
         push = (is_internal
-                & jnp.any(hit_bits, axis=0, keepdims=True)
+                & (jnp.min(newcodes, axis=0, keepdims=True) < _SENT)
                 & (lvl_cur + 1 < D))
+        newbase = _i32(row[HDR_BASE:HDR_BASE + 1, :])
 
-        # ---- state writeback + push at level lvl_cur+1 (static) -----
-        masks = masks_ref[:, :]                            # (D*NW, B)
-        tcodes = tcodes_ref[:, :]                          # (D*BRANCH,B) i32
-        bases = bases_ref[:, :]                            # (D, B)
-        new_masks = []
-        new_tcodes = []
-        new_bases = []
-        for l in range(D):
-            sel = push & (lvl_cur + 1 == l)                # (1, B)
-            m_l = masks[l * NMASK_WORDS:(l + 1) * NMASK_WORDS, :]
-            new_masks.append(jnp.where(sel, hitwords, m_l))
-            t_l = tcodes[l * BRANCH:(l + 1) * BRANCH, :]
-            new_tcodes.append(jnp.where(sel, newcodes, t_l))
-            new_bases.append(jnp.where(
-                sel, _i32(row[HDR_BASE:HDR_BASE + 1, :]),
-                bases[l:l + 1, :]))
-
-        # ---- pop for the next iteration (integrated pruning) --------
-        # a level whose nearest pending child is beyond the best hit
-        # can never improve it: clear it (pops always take the level
-        # minimum, so per-level pruning visits exactly the same rows
-        # as the jnp walker's per-child lazy prune)
+        # ---- fused per-level loop: push-merge + prune + deepest-live
+        # scan.  A level is live iff its nearest pending code can still
+        # beat the best hit; the threshold only decreases during a
+        # walk, so dead levels stay dead without being cleared --------
         if do_prune:
             thresh = jnp.clip(jnp.floor(min_dist * sq) + 1.0, 0.0,
                               65535.0).astype(jnp.int32)   # (1, B)
         else:
-            thresh = jnp.full_like(lvl_cur, _BIG - 1)
+            thresh = jnp.full_like(lvl_cur, 65535)
+        tcodes = tcodes_ref[:, :]                          # (D*BRANCH,B) i32
+        bases = bases_ref[:, :]                            # (D, B)
         lvl = jnp.full_like(lvl_cur, -1)
+        tl_sel = jnp.full((BRANCH, b), _SENT, jnp.int32)
+        base_sel = jnp.zeros_like(lvl_cur)
+        new_tcodes = []
+        new_bases = []
         for l in range(D):
-            bits_l = _bits_of(new_masks[l])
-            tl_l = jnp.where(bits_l, new_tcodes[l], _BIG)
-            lmin_l = jnp.min(tl_l, axis=0, keepdims=True)  # (1, B)
-            live = lmin_l <= thresh                        # pending+near
-            new_masks[l] = jnp.where(live, new_masks[l], jnp.uint32(0))
-            lvl = jnp.where(live, l, lvl)
+            sel = push & (lvl_cur + 1 == l)                # (1, B)
+            tc_l = jnp.where(sel, newcodes,
+                             tcodes[l * BRANCH:(l + 1) * BRANCH, :])
+            b_l = jnp.where(sel, newbase, bases[l:l + 1, :])
+            m_l = jnp.min(tc_l, axis=0, keepdims=True)     # (1, B)
+            live = m_l <= thresh                           # pending+near
+            lvl = jnp.where(live, l, lvl)                  # deepest wins
+            tl_sel = jnp.where(live, tc_l, tl_sel)
+            base_sel = jnp.where(live, b_l, base_sel)
+            new_tcodes.append(tc_l)
+            new_bases.append(b_l)
 
-        # select the deepest live level's codes/bits/base
-        tl_sel = jnp.full((BRANCH, masks.shape[1]), _BIG, jnp.int32)
-        base_sel = jnp.zeros_like(lvl)
-        for l in range(D):
-            on_l = lvl == l
-            bits_l = _bits_of(new_masks[l])
-            tl_l = jnp.where(bits_l, new_tcodes[l], _BIG)
-            tl_sel = jnp.where(on_l, tl_l, tl_sel)
-            base_sel = jnp.where(on_l, new_bases[l], base_sel)
+        # ---- pop: nearest pending child of the deepest live level ---
         act_n = lvl >= 0
         m = jnp.min(tl_sel, axis=0, keepdims=True)
         c = jnp.min(jnp.where(tl_sel == m, iota_slot, BRANCH), axis=0,
                     keepdims=True)                         # (1, B)
-        oh_c = (iota_slot == c) & act_n
-        pat = _words_of(oh_c)                              # (NW, B)
         for l in range(D):
-            on_l = (lvl == l) & act_n
-            new_masks[l] = jnp.where(on_l, new_masks[l] ^ pat,
-                                     new_masks[l])
+            on_l = lvl == l
+            new_tcodes[l] = jnp.where(on_l & (iota_slot == c), _SENT,
+                                      new_tcodes[l])
         ptr_n = jnp.where(act_n, _u32(base_sel) + _u32(c),
                           jnp.uint32(0))
 
         # ---- commit --------------------------------------------------
-        omasks_ref[:, :] = jnp.concatenate(new_masks, axis=0)
         otcodes_ref[:, :] = jnp.concatenate(new_tcodes, axis=0)
         obases_ref[:, :] = jnp.concatenate(new_bases, axis=0)
         ouregs_ref[:, :] = jnp.concatenate([
@@ -358,8 +327,7 @@ def _make_kernel(depth, instanced, do_prune=True):
             (_u32(tri_base) if instanced
              else uregs_ref[U_TBASE:U_TBASE + 1, :]),
             uregs_ref[U_PAD:U_PAD + 1, :]], axis=0)
-        ofregs_ref[:, :] = jnp.concatenate(
-            [org, dirv, inv_dir, noid, min_dist, best_norm], axis=0)
+        ohregs_ref[:, :] = jnp.concatenate([min_dist, best_norm], axis=0)
         if instanced:
             oiregs_ref[:, :] = jnp.concatenate(
                 [irot, iorg, idir, iinv, inoid,
@@ -368,6 +336,13 @@ def _make_kernel(depth, instanced, do_prune=True):
             oiregs_ref[:, :] = iregs_ref[:, :]
 
     return kernel
+
+
+# walker-state arrays: rays is a read-only input (never written by the
+# kernel); the rest are input/output-aliased
+_RO_KEYS = ('rays',)
+_RW_KEYS = ('tcodes', 'bases', 'uregs', 'hregs', 'iregs')
+W_KEYS = _RO_KEYS + _RW_KEYS
 
 
 @partial(jax.jit, static_argnames=('depth', 'instanced', 'block',
@@ -379,7 +354,7 @@ def walk_iter(row_t, W, depth, instanced, sq, block=DEFAULT_BLOCK,
     ``row_t``: (ROW_WIDTH, n) u32 — transposed gathered rows.
     ``W``: walker-state dict (see ``seed``); returned updated, with
     ``W['uregs'][U_PTR]`` the next row to gather and ``U_ACT`` the
-    live flag.
+    live flag.  ``W['rays']`` is passed through untouched.
     """
     n = row_t.shape[1]
     b = min(block, n)
@@ -394,26 +369,26 @@ def walk_iter(row_t, W, depth, instanced, sq, block=DEFAULT_BLOCK,
     sq_spec = pl.BlockSpec((1, 1), lambda i: (0, 0),
                            memory_space=pltpu.SMEM)
 
-    shapes = dict(masks=(D * NMASK_WORDS, n), bases=(D, n),
-                  tcodes=(D * BRANCH, n), uregs=(8, n), fregs=(16, n),
-                  iregs=(I_ROWS, n))
-    dtypes = dict(masks=jnp.uint32, bases=jnp.int32, tcodes=jnp.int32,
-                  uregs=jnp.uint32, fregs=jnp.float32, iregs=jnp.float32)
-    names = ('masks', 'bases', 'tcodes', 'uregs', 'fregs', 'iregs')
+    shapes = dict(rays=(12, n), tcodes=(D * BRANCH, n), bases=(D, n),
+                  uregs=(8, n), hregs=(4, n), iregs=(I_ROWS, n))
+    dtypes = dict(rays=jnp.float32, tcodes=jnp.int32, bases=jnp.int32,
+                  uregs=jnp.uint32, hregs=jnp.float32, iregs=jnp.float32)
 
     out = pl.pallas_call(
         kern,
         grid=grid,
         in_specs=[sq_spec, spec(ROW_WIDTH)]
-        + [spec(shapes[k][0]) for k in names],
-        out_specs=tuple(spec(shapes[k][0]) for k in names),
+        + [spec(shapes[k][0]) for k in W_KEYS],
+        out_specs=tuple(spec(shapes[k][0]) for k in _RW_KEYS),
         out_shape=tuple(jax.ShapeDtypeStruct(shapes[k], dtypes[k])
-                        for k in names),
-        input_output_aliases={i + 2: i for i in range(len(names))},
+                        for k in _RW_KEYS),
+        input_output_aliases={i + 3: i for i in range(len(_RW_KEYS))},
         interpret=_interpret(),
     )(jnp.reshape(jnp.asarray(sq, jnp.float32), (1, 1)), row_t,
-      *[W[k] for k in names])
-    return dict(zip(names, out))
+      *[W[k] for k in W_KEYS])
+    new = dict(zip(_RW_KEYS, out))
+    new['rays'] = W['rays']
+    return new
 
 
 def seed(geom, depth, org_t, dir_t, lht, active):
@@ -429,9 +404,8 @@ def seed(geom, depth, org_t, dir_t, lht, active):
     inv_t = 1.0 / dir_t
     noid_t = -org_t * inv_t
 
-    masks = jnp.zeros((D * NMASK_WORDS, n), jnp.uint32)
     bases = jnp.zeros((D, n), jnp.int32)
-    tcodes = jnp.full((D * BRANCH, n), 65535, jnp.int32)
+    tcodes = jnp.full((D * BRANCH, n), _SENT, jnp.int32)
 
     root = geom.mbvh_rows[0]
     sq = tquant_scale(geom)
@@ -466,22 +440,13 @@ def seed(geom, depth, org_t, dir_t, lht, active):
                 & active[None, :])                         # (BRANCH, n)
         codes = jnp.where(b_ok,
                           jnp.clip(jnp.floor(tmin * sq), 0.0, 65535.0),
-                          65535.0).astype(jnp.int32)
+                          float(_SENT)).astype(jnp.int32)
         # first pop: nearest root child, ties to lowest slot
-        m = jnp.min(jnp.where(b_ok, codes, _BIG), axis=0, keepdims=True)
+        m = jnp.min(codes, axis=0, keepdims=True)
         c = jnp.min(jnp.where((codes == m) & b_ok, iota_slot, BRANCH),
                     axis=0, keepdims=True)                 # (1, n)
         act = jnp.any(b_ok, axis=0)                        # (n,)
-        rem = b_ok & (iota_slot != c)
-        words = []
-        bit = (jnp.uint32(1) << jax.lax.broadcasted_iota(
-            jnp.uint32, (32, n), 0))
-        for w in range(NMASK_WORDS):
-            words.append(jnp.sum(
-                jnp.where(rem[w * 32:(w + 1) * 32, :], bit,
-                          jnp.uint32(0)), axis=0, keepdims=True))
-        masks = masks.at[1 * NMASK_WORDS:2 * NMASK_WORDS, :].set(
-            jnp.concatenate(words, axis=0))
+        codes = jnp.where(iota_slot == c, _SENT, codes)    # pop it
         tcodes = tcodes.at[1 * BRANCH:2 * BRANCH, :].set(codes)
         bases = bases.at[1:2, :].set(
             jnp.broadcast_to(root[HDR_BASE].astype(jnp.int32)[None,
@@ -500,15 +465,15 @@ def seed(geom, depth, org_t, dir_t, lht, active):
         _u32(lht),
         jnp.zeros(n, jnp.uint32),
         jnp.zeros(n, jnp.uint32)], axis=0)
-    fregs = jnp.concatenate([
-        org_t, dir_t, inv_t, noid_t,
+    rays = jnp.concatenate([org_t, dir_t, inv_t, noid_t], axis=0)
+    hregs = jnp.concatenate([
         jnp.full((1, n), jnp.inf, jnp.float32),
         jnp.zeros((3, n), jnp.float32)], axis=0)
     iregs = jnp.zeros((I_ROWS, n), jnp.float32)
     if getattr(geom, 'mbvh_instanced', False):
         iregs = iregs.at[I_DIR:I_INV + 3, :].set(1.0)  # idir=iinv=1
-    return dict(masks=masks, bases=bases, tcodes=tcodes, uregs=uregs,
-                fregs=fregs, iregs=iregs)
+    return dict(rays=rays, tcodes=tcodes, bases=bases, uregs=uregs,
+                hregs=hregs, iregs=iregs)
 
 
 def results(W):
@@ -516,8 +481,8 @@ def results(W):
     from walker state, standard (n,)/(n,3) layout."""
     return dict(
         triangle=_i32(W['uregs'][U_TRI]),
-        distance=W['fregs'][F_MIN],
-        normal=W['fregs'][F_NRM:F_NRM + 3].T,
+        distance=W['hregs'][H_MIN],
+        normal=W['hregs'][H_NRM:H_NRM + 3].T,
         material_code=W['uregs'][U_MAT],
         incomplete=W['uregs'][U_ACT] != 0,
     )

@@ -70,8 +70,8 @@ def bench(geom, n):
                              block=BLOCK)
             # reseed drained lanes so every iteration does real work
             done = W['uregs'][MP.U_ACT] == 0
-            W2 = MP.seed(geom, depth, W['fregs'][MP.F_ORG:MP.F_ORG + 3],
-                         W['fregs'][MP.F_DIR:MP.F_DIR + 3],
+            W2 = MP.seed(geom, depth, W['rays'][MP.R_ORG:MP.R_ORG + 3],
+                         W['rays'][MP.R_DIR:MP.R_DIR + 3],
                          jnp.full(n, -1, jnp.int32), done)
             keep = lambda a, b: jnp.where(done[None, :], b, a)
             return {k: keep(W[k], W2[k]) for k in W}
