@@ -20,8 +20,9 @@ width:
     codes) solid and shared by every placement, so the 10k-identical-
     PMT demo stores ~4k unique triangles instead of ~42M.
 
-With BRANCH=128 the 42M-triangle full demo is 4 levels deep and a
-typical ray fetches ~11 rows per intersection (measured, round 2)
+With BRANCH=64 (the round-3 default; see the layout comment below for
+the measured 32/64/128 tradeoff) the 42M-triangle instanced full demo
+is 6 levels deep and a typical ray fetches ~6.8 rows per photon step
 instead of the ~105 node records of a narrow BVH; BRANCH and
 TARGET_DEGREE are env-overridable (CHROMA_TPU_BRANCH /
 CHROMA_TPU_TARGET_DEGREE) for build experiments.  Construction reuses the Morton
@@ -41,7 +42,7 @@ import numpy as np
 
 from chroma_tpu.bvh.build import create_leaf_nodes, _intra_run
 
-BRANCH = int(os.environ.get('CHROMA_TPU_BRANCH', 128))
+BRANCH = int(os.environ.get('CHROMA_TPU_BRANCH', 64))
                                # children per block / triangles per cluster
 NMASK_WORDS = BRANCH // 32     # u32 words per pending-children bitmask
 TARGET_DEGREE = int(os.environ.get('CHROMA_TPU_TARGET_DEGREE',
@@ -50,13 +51,17 @@ TARGET_DEGREE = int(os.environ.get('CHROMA_TPU_TARGET_DEGREE',
 
 # row layout (u32 words).  Cluster triangle vertices are quantized to
 # u16 on a per-cluster local grid (origin + per-axis scale).  BRANCH
-# is 128 because (a) fat-row gathers are latency-bound — a 3.4 KB row
-# costs ~1.3x a 760 B row while carrying 4.6x the content (measured,
-# tools/profile_step.py section E) — and (b) the TPU vector unit is
-# 128 lanes wide, so (N, BRANCH) slot math fills every lane (at the
-# r1 BRANCH=28, 78% of each vector row was padding).  Wider rows also
-# halve tree depth, and traversal iterations cost ~126 us each in
-# fixed overhead regardless of batch width.
+# history: 128 won in round 2, when the jnp walker laid slot math out
+# as (n, BRANCH) with BRANCH on the 128-wide lane axis and row gathers
+# were latency-bound (a 3.4 KB row costs ~1.3x a 760 B row while
+# carrying 4.6x the content — tools/profile_step.py section E).  The
+# round-3 Pallas walker transposes to (BRANCH, lanes) — lanes fill the
+# vector width regardless of BRANCH, slots live on sublanes — and is
+# VPU-compute-bound, so per-row work scales ~linearly with BRANCH.
+# Measured on the full demo (tools/tune_fused3.py): BRANCH=64 tests
+# 6.8 rows/photon-step vs 4.9 at 128 but at half the per-row cost ->
+# 2.33M vs 1.90M photons/s; BRANCH=32 loses (8.9 rows/step, depth 7,
+# per-row fixed cost dominates).
 HDR_KIND = 0                   # bit0: 1=cluster; bit1: 1=row content is
                                # in a BLAS local frame; bit2: 1=instance
                                # entry (carries a transform);

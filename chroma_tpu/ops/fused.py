@@ -63,7 +63,7 @@ def _use_pallas_default():
         return env != '0'
     return jax.default_backend() == 'tpu'
 
-SERVICE_EVERY = 6       # walker iterations between physics passes
+SERVICE_EVERY = 10      # walker iterations between physics passes
 DEFAULT_WIDTH = 8192    # total lane width across chains
                         # (tools/tune_fused*: narrow wins because
                         # service cost scales with width)
@@ -285,11 +285,12 @@ def _make_lane(state, geom, lo, w, depth, pal=False):
 
 @partial(jax.jit, static_argnames=('max_steps', 'use_weights', 'width',
                                    'service_every', 'chains',
-                                   'use_pallas', 'prune'))
+                                   'use_pallas', 'prune',
+                                   'service_frac'))
 def propagate_fused(state, geom, key, max_steps=100, use_weights=False,
                     scatter_first=0, width=None,
                     service_every=SERVICE_EVERY, chains=None,
-                    use_pallas=None, prune=None):
+                    use_pallas=None, prune=None, service_frac=None):
     """Propagate all photons in ``state`` to termination, fused.
 
     Returns ``(final_state, stats)`` where ``stats`` is an int32[4]
@@ -304,6 +305,14 @@ def propagate_fused(state, geom, key, max_steps=100, use_weights=False,
     (see module docstring); each owns ``width/chains`` lanes and a
     private photon-pool segment.  Defaults to CHROMA_TPU_CHAINS (2),
     dropping to 1 when the batch is too small to split.
+
+    ``service_frac``: if set (or via CHROMA_TPU_SERVICE_FRAC), use a
+    *dynamic* service cadence: each chain runs its physics pass under
+    ``lax.cond`` as soon as >= frac of its holding lanes (or all of
+    them) have drained their walks, instead of every ``service_every``
+    iterations.  RNG pairing differs from the static cadence (draws
+    are consumed per service pass), so results differ seed-to-seed but
+    sample the same distributions.
     """
     pal = _use_pallas_default() if use_pallas is None else use_pallas
     caller_index = state['index']
@@ -343,6 +352,12 @@ def propagate_fused(state, geom, key, max_steps=100, use_weights=False,
     # its pop sequence matches the jnp walker at prune='on'.
     if prune is None:
         prune = os.environ.get('CHROMA_TPU_PRUNE', 'half')
+    # dynamic service cadence: service a chain whenever >= this
+    # fraction of its lanes have drained (None = static service_every)
+    sfrac = service_frac
+    if sfrac is None:
+        env_sf = os.environ.get('CHROMA_TPU_SERVICE_FRAC')
+        sfrac = float(env_sf) if env_sf else None
     body_walk = mbvh._walk_body(geom, depth, do_prune=(prune != 'off'))
     body_walk_np = mbvh._walk_body(geom, depth,
                                    do_prune=(prune == 'on'))
@@ -368,6 +383,11 @@ def propagate_fused(state, geom, key, max_steps=100, use_weights=False,
                     W['uregs'][MP.U_ACT], jnp.int32))
             return out
 
+    def _chain_pending(lane):
+        if pal:
+            return lane['W_uregs'][MP.U_ACT] != 0
+        return jnp.any(lane['masks'] != 0, axis=(1, 2))
+
     def make_body():
         def body(carry):
             lanes, pools, next_ptrs, keys, stats = carry
@@ -387,12 +407,7 @@ def propagate_fused(state, geom, key, max_steps=100, use_weights=False,
                     lanes[c] = wf(lanes[c])
             for c in range(len(lanes)):
                 holding = lanes[c]['holding']
-                if pal:
-                    pending = lanes[c]['W_uregs'][MP.U_ACT] != 0
-                else:
-                    pending = jnp.any(lanes[c]['masks'] != 0,
-                                      axis=(1, 2))
-                ready = holding & ~pending
+                ready = holding & ~_chain_pending(lanes[c])
                 stats = stats + jnp.stack(
                     [jnp.asarray(1 if c == 0 else 0, jnp.int32),
                      jnp.sum(ready).astype(jnp.int32),
@@ -402,6 +417,54 @@ def propagate_fused(state, geom, key, max_steps=100, use_weights=False,
                     lanes[c], pools[c], next_ptrs[c], keys[c], geom,
                     max_steps, scatter_first, use_weights,
                     idx_base=int(seg_lo[c]), pal=pal)
+            return (tuple(lanes), tuple(pools), tuple(next_ptrs),
+                    tuple(keys), stats)
+        return body
+
+    def make_body_dynamic(frac):
+        """One walker iteration per body; each chain runs its physics
+        pass under ``lax.cond``, only once enough of its holding lanes
+        have drained (>= frac of the chain width, or all of them).
+        Decouples the service cadence from a fixed count so lanes
+        don't idle out the tail of a static window."""
+        def body(carry):
+            lanes, pools, next_ptrs, keys, stats = carry
+            lanes = list(lanes)
+            pools = list(pools)
+            next_ptrs = list(next_ptrs)
+            keys = list(keys)
+            for c in range(len(lanes)):
+                lanes[c] = (pallas_step if pal
+                            else body_walk)(lanes[c])
+            for c in range(len(lanes)):
+                holding = lanes[c]['holding']
+                ready = holding & ~_chain_pending(lanes[c])
+                nh = jnp.sum(holding).astype(jnp.int32)
+                nd = jnp.sum(ready).astype(jnp.int32)
+                target = jnp.minimum(
+                    jnp.int32(max(1, int(frac * holding.shape[0]))), nh)
+                do_svc = (nh > 0) & (nd >= target)
+                stats = stats + jnp.stack(
+                    [jnp.asarray(0, jnp.int32),
+                     jnp.asarray(0, jnp.int32), nh,
+                     jnp.asarray(0, jnp.int32)])
+
+                def _svc(args, c=c, nd=nd):
+                    lane, pool, ptr, key, stats = args
+                    stats = stats + jnp.stack(
+                        [jnp.asarray(1 if c == 0 else 0, jnp.int32),
+                         nd, jnp.asarray(0, jnp.int32),
+                         jnp.asarray(0, jnp.int32)])
+                    lane, pool, ptr, key = _service(
+                        lane, pool, ptr, key, geom, max_steps,
+                        scatter_first, use_weights,
+                        idx_base=int(seg_lo[c]), pal=pal)
+                    return lane, pool, ptr, key, stats
+
+                (lanes[c], pools[c], next_ptrs[c], keys[c],
+                 stats) = jax.lax.cond(
+                    do_svc, _svc, lambda args: args,
+                    (lanes[c], pools[c], next_ptrs[c], keys[c], stats))
             return (tuple(lanes), tuple(pools), tuple(next_ptrs),
                     tuple(keys), stats)
         return body
@@ -425,8 +488,12 @@ def propagate_fused(state, geom, key, max_steps=100, use_weights=False,
                 go = more if go is None else (go | more)
             return go
 
+        if sfrac is not None:
+            body_fn = make_body_dynamic(sfrac)
+        else:
+            body_fn = make_body()
         return jax.lax.while_loop(
-            cond, make_body(),
+            cond, body_fn,
             (tuple(lanes), tuple(pools), tuple(next_ptrs), tuple(keys),
              stats))
 

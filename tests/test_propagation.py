@@ -384,3 +384,49 @@ def test_thin_film_transfer_matrix():
                                got[at_norm, 0], atol=2e-3)
     np.testing.assert_allclose(np.asarray(n_t)[at_norm],
                                got[at_norm, 1], atol=2e-3)
+
+
+def test_fused_dynamic_service(water_box):
+    """The dynamic service cadence (service_frac: physics pass fires
+    under lax.cond once enough lanes drain) must terminate every
+    photon, preserve pool order, and sample the same physics as the
+    static cadence."""
+    from chroma_tpu.ops.fused import propagate_fused
+
+    n = 6000
+    rng = np.random.RandomState(13)
+    dirs = rng.normal(size=(n, 3)).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=1)[:, None]
+    pol = np.cross(rng.normal(size=(n, 3)), dirs).astype(np.float32)
+    pol /= np.linalg.norm(pol, axis=1)[:, None]
+    photons = event.Photons(pos=np.zeros((n, 3), np.float32), dir=dirs,
+                            pol=pol,
+                            wavelengths=np.full(n, 400.0, np.float32))
+
+    state = gpu_photon.upload_photons(photons)
+    out_s, stats_s = propagate_fused(state, water_box,
+                                     jax.random.PRNGKey(6),
+                                     max_steps=20, width=2048)
+    ps = gpu_photon.download_photons(out_s)
+
+    state = gpu_photon.upload_photons(photons)
+    out_d, stats_d = propagate_fused(state, water_box,
+                                     jax.random.PRNGKey(6),
+                                     max_steps=20, width=2048,
+                                     service_frac=0.25)
+    pd = gpu_photon.download_photons(out_d)
+
+    # order kept, all photons reach a terminal state
+    np.testing.assert_array_equal(pd.wavelengths, photons.wavelengths)
+    assert ((pd.flags & event.TERMINAL_FLAGS) != 0).all()
+    # the dynamic cadence services when lanes drain, so it should not
+    # run MORE physics passes than one-per-six-iterations
+    assert int(stats_d[0]) <= int(stats_s[0]) * 2
+
+    for flag in (event.NO_HIT, event.RAYLEIGH_SCATTER,
+                 event.REFLECT_SPECULAR):
+        rs = ((ps.flags & flag) != 0).mean()
+        rd = ((pd.flags & flag) != 0).mean()
+        err = 3 * np.sqrt(max(rs * (1 - rs), 1e-4) / n) * 2
+        assert abs(rs - rd) < err + 0.01, (flag, rs, rd)
+    assert abs(ps.t.mean() - pd.t.mean()) < 0.1 * ps.t.std() + 1e-3
