@@ -266,8 +266,73 @@ class Camera(object):
 
     # ---- interactive loop --------------------------------------------
 
+    #: mode toggles available in the interactive loop (reference:
+    #: chroma/camera.py:574-646 — F5 hybrid, F6 stereo, F7 BVH
+    #: wireframe, F11 movie capture)
+    HELP = """\
+drag rotate | shift-drag pan | wheel / +,- zoom | arrows orbit+dolly
+F5 hybrid | F6 anaglyph | F7 bvh wireframe ([,] layer) | F11 movie
+s screenshot | ESC/q quit"""
+
+    _mode = 'normal'
+    _bvh_layer = None
+    _movie = None
+    _tracks = False
+
+    def _frame(self):
+        """Render one frame honoring the active display mode."""
+        if self._mode == 'hybrid':
+            arr = self.render_hybrid_to_array()
+        elif self._mode == 'anaglyph':
+            arr = self.render_anaglyph_to_array()
+        else:
+            arr = self.render_to_array()
+        if self._bvh_layer is not None and self._mode == 'normal':
+            arr = self.render_bvh_to_array(layer=self._bvh_layer)
+        return arr
+
+    def _handle_key(self, ev, pygame):
+        """Shared key handling; returns False to quit."""
+        step = 0.1 * self.scale * normalize(
+            self.mesh_center - self.viewpoint)
+        if ev.key in (pygame.K_ESCAPE, pygame.K_q):
+            return False
+        elif ev.key == pygame.K_LEFT:
+            self.rotate(np.pi / 18, self.axis1)
+        elif ev.key == pygame.K_RIGHT:
+            self.rotate(-np.pi / 18, self.axis1)
+        elif ev.key == pygame.K_UP:
+            self.translate(step)
+        elif ev.key == pygame.K_DOWN:
+            self.translate(-step)
+        elif ev.key in (pygame.K_EQUALS, pygame.K_PLUS,
+                        pygame.K_KP_PLUS):
+            self.translate(0.5 * step)
+        elif ev.key in (pygame.K_MINUS, pygame.K_KP_MINUS):
+            self.translate(-0.5 * step)
+        elif ev.key == pygame.K_F5:        # hybrid render toggle
+            self._mode = 'hybrid' if self._mode != 'hybrid' else 'normal'
+        elif ev.key == pygame.K_F6:        # anaglyph stereo toggle
+            self._mode = ('anaglyph' if self._mode != 'anaglyph'
+                          else 'normal')
+        elif ev.key == pygame.K_F7:        # BVH wireframe toggle
+            self._bvh_layer = 1 if self._bvh_layer is None else None
+        elif ev.key == pygame.K_LEFTBRACKET and self._bvh_layer:
+            self._bvh_layer = max(self._bvh_layer - 1, 0)
+        elif ev.key == pygame.K_RIGHTBRACKET \
+                and self._bvh_layer is not None:
+            self._bvh_layer += 1
+        elif ev.key == pygame.K_F11:       # movie capture toggle
+            self._movie = 0 if self._movie is None else None
+        elif ev.key == pygame.K_s:
+            self.snapshot('camera-%06d.png' % np.random.randint(1e6))
+        return True
+
     def run(self):
-        """pygame interactive loop (reference: chroma/camera.py:646)."""
+        """pygame interactive loop (reference: chroma/camera.py:646):
+        mouse-drag rotate, shift-drag pan, wheel zoom, arrow keys,
+        F5 hybrid render, F6 anaglyph, F7 BVH wireframe with [,] layer
+        select, F11 frame capture, s screenshot."""
         os.environ.setdefault('SDL_VIDEODRIVER',
                               os.environ.get('SDL_VIDEODRIVER', ''))
         import pygame
@@ -275,6 +340,10 @@ class Camera(object):
         screen = pygame.display.set_mode(self.size)
         pygame.display.set_caption('chroma-tpu camera')
         clock = pygame.time.Clock()
+        self._mode = 'normal'
+        self._bvh_layer = None
+        self._movie = None
+        logger.info(self.HELP)
 
         done = False
         while not done:
@@ -282,24 +351,27 @@ class Camera(object):
                 if ev.type == pygame.QUIT:
                     done = True
                 elif ev.type == pygame.KEYDOWN:
-                    if ev.key == pygame.K_ESCAPE:
+                    if not self._handle_key(ev, pygame):
                         done = True
-                    elif ev.key == pygame.K_LEFT:
-                        self.rotate(np.pi / 18, self.axis1)
-                    elif ev.key == pygame.K_RIGHT:
-                        self.rotate(-np.pi / 18, self.axis1)
-                    elif ev.key == pygame.K_UP:
-                        self.translate(0.1 * self.scale * normalize(
-                            self.mesh_center - self.viewpoint))
-                    elif ev.key == pygame.K_DOWN:
-                        self.translate(-0.1 * self.scale * normalize(
-                            self.mesh_center - self.viewpoint))
                 elif ev.type == pygame.MOUSEMOTION and ev.buttons[0]:
                     dx, dy = ev.rel
-                    self.rotate(-dx * 0.005, self.axis1)
-                    self.rotate(-dy * 0.005, self.axis2)
+                    mods = pygame.key.get_mods()
+                    if mods & pygame.KMOD_SHIFT:   # pan in film plane
+                        self.translate((-dx * self.axis2
+                                        + dy * self.axis1)
+                                       * 0.001 * self.scale)
+                    else:
+                        self.rotate(-dx * 0.005, self.axis1)
+                        self.rotate(-dy * 0.005, self.axis2)
+                elif ev.type == pygame.MOUSEWHEEL:
+                    self.translate(0.05 * ev.y * self.scale * normalize(
+                        self.mesh_center - self.viewpoint))
 
-            arr = self.render_to_array()
+            arr = self._frame()
+            if self._movie is not None:
+                from PIL import Image
+                Image.fromarray(arr).save('frame-%06d.png' % self._movie)
+                self._movie += 1
             surf = pygame.surfarray.make_surface(
                 arr.transpose(1, 0, 2)[:, ::-1])
             screen.blit(surf, (0, 0))
@@ -344,9 +416,49 @@ class EventViewer(Camera):
                     | int(b * 255)
         self.gpu_geometry.color_solids(solid_hit, colors)
 
+    #: key bindings on top of Camera.HELP (reference EventViewer
+    #: handles PAGEUP/PAGEDOWN event stepping and charge/time coloring
+    #: modes, chroma/camera.py:926)
+    HELP = Camera.HELP + """
+pgdn/k next event | pgup/j prev event | c charge | t time | x tracks"""
+
+    def _frame(self):
+        ev = self.events[self.event_index] if self.events else None
+        if ev is not None and self._tracks:
+            return self.render_event_to_array(ev)
+        return Camera._frame(self)
+
+    def _handle_key(self, ev, pygame):
+        if ev.key in (pygame.K_PAGEDOWN, pygame.K_k):
+            self.next_event()
+        elif ev.key in (pygame.K_PAGEUP, pygame.K_j):
+            self.prev_event()
+        elif ev.key == pygame.K_c:
+            self._color_mode = 'charge'
+            self.color_by_event(self.events[self.event_index], 'charge')
+        elif ev.key == pygame.K_t:
+            self._color_mode = 'time'
+            self.color_by_event(self.events[self.event_index], 'time')
+        elif ev.key == pygame.K_x:
+            self._tracks = not self._tracks
+        else:
+            return Camera._handle_key(self, ev, pygame)
+        return True
+
+    def run(self):
+        self._color_mode = 'charge'
+        self._tracks = False
+        Camera.run(self)
+
     def next_event(self):
         self.event_index = (self.event_index + 1) % len(self.events)
-        self.color_by_event(self.events[self.event_index])
+        self.color_by_event(self.events[self.event_index],
+                            getattr(self, '_color_mode', 'charge'))
+
+    def prev_event(self):
+        self.event_index = (self.event_index - 1) % len(self.events)
+        self.color_by_event(self.events[self.event_index],
+                            getattr(self, '_color_mode', 'charge'))
 
     def snapshot_event(self, filename, mode='charge'):
         """PNG of the current event: channels colored + photon tracks /

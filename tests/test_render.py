@@ -175,3 +175,44 @@ def test_hybrid_photon_map_render():
     assert img.max() > 0.0
     pixels = hyb.process_image(img, scale=1.0 / max(img.max(), 1e-9))
     assert pixels.shape == (32 * 24,)
+
+
+def test_camera_interactive_keys():
+    """The interactive loop's key handling drives mode toggles and
+    camera motion without a display (reference key map:
+    chroma/camera.py:574-646)."""
+    from types import SimpleNamespace
+    import pygame
+    from chroma_tpu.camera import Camera
+    geo = create_geometry_from_obj(
+        Solid(make.cube(100.0), vacuum, vacuum, color=0x3300ff00),
+        update_bvh_cache=False)
+    cam = Camera(geo, size=(40, 30))
+
+    def key(k):
+        return SimpleNamespace(key=k)
+
+    vp0 = cam.viewpoint.copy()
+    assert cam._handle_key(key(pygame.K_UP), pygame)
+    assert not np.allclose(cam.viewpoint, vp0)
+
+    assert cam._mode == 'normal'
+    assert cam._handle_key(key(pygame.K_F6), pygame)
+    assert cam._mode == 'anaglyph'
+    assert cam._handle_key(key(pygame.K_F6), pygame)
+    assert cam._mode == 'normal'
+
+    assert cam._bvh_layer is None
+    assert cam._handle_key(key(pygame.K_F7), pygame)
+    assert cam._bvh_layer == 1
+    assert cam._handle_key(key(pygame.K_RIGHTBRACKET), pygame)
+    assert cam._bvh_layer == 2
+    assert cam._handle_key(key(pygame.K_LEFTBRACKET), pygame)
+    assert cam._bvh_layer == 1
+    # anaglyph frame renders with the toggles active
+    cam._mode = 'anaglyph'
+    arr = cam._frame()
+    assert arr.shape == (30, 40, 3)
+    # quit keys report False
+    assert not cam._handle_key(key(pygame.K_ESCAPE), pygame)
+    assert not cam._handle_key(key(pygame.K_q), pygame)

@@ -48,11 +48,11 @@ def main():
     state = gpu.GPUPhotons(_isotropic_photons(n)).state
 
     import sys as _s
-    cfgs = ((1, 8192, 6), (2, 8192, 6), (2, 16384, 6), (3, 12288, 6),
-            (4, 16384, 6), (2, 16384, 8), (4, 32768, 8))
-    sel = [int(x) for x in _s.argv[3:]] or range(len(cfgs))
-    for ci in sel:
-        chains, width, se = cfgs[ci]
+    # each extra argv is one config 'chains:width:se'
+    cfgs = [tuple(int(v) for v in a.split(':')) for a in _s.argv[3:]] \
+        or [(1, 8192, 6), (2, 8192, 6), (2, 16384, 6), (3, 12288, 6),
+            (4, 16384, 6), (2, 16384, 8), (4, 32768, 8)]
+    for chains, width, se in cfgs:
         print(f'# compiling C={chains} w={width} se={se}', flush=True)
         run(state, geom, key, n, width, se, chains)
 
