@@ -498,11 +498,15 @@ def propagate_fused(state, geom, key, max_steps=100, use_weights=False,
              stats))
 
     carry = (lanes, pools, next_ptrs, keys, stats)
+    # pallas lane widths must stay whole blocks: a ragged tail block
+    # would be padded per walk_iter call (copies every iteration)
+    blk = MP.DEFAULT_BLOCK if pal else 1
     if min(w_c) * nchains > 4096 and len(DRAIN_SHRINK):
         for shrink in DRAIN_SHRINK:
             # shrink factors are relative to each chain's ORIGINAL
             # width (w/8 then w/64, as the single-chain driver did)
-            targets = [max(w_c[c] // shrink, 1024 // nchains)
+            targets = [-(-max(w_c[c] // shrink, 1024 // nchains)
+                         // blk) * blk
                        for c in range(nchains)]
             carry = run_stage(*carry, targets)
             lanes, pools, next_ptrs, keys, stats = carry

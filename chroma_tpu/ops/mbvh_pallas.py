@@ -356,8 +356,19 @@ def walk_iter(row_t, W, depth, instanced, sq, block=DEFAULT_BLOCK,
     ``W['uregs'][U_PTR]`` the next row to gather and ``U_ACT`` the
     live flag.  ``W['rays']`` is passed through untouched.
     """
-    n = row_t.shape[1]
-    b = min(block, n)
+    n0 = row_t.shape[1]
+    b = block
+    # Mosaic requires whole blocks on the lane axis: DMA of a ragged
+    # tail block reads past the buffer (device fault), and n // b
+    # would skip it entirely.  Pad to a block multiple and slice the
+    # result back (pad lanes have uregs=0 => inactive; their outputs
+    # are discarded).  Hot callers keep lane widths block-aligned so
+    # this is the exception path.
+    pad = (-n0) % b
+    if pad:
+        row_t = jnp.pad(row_t, ((0, 0), (0, pad)))
+        W = {k: jnp.pad(v, ((0, 0), (0, pad))) for k, v in W.items()}
+    n = n0 + pad
     grid = (n // b,)
     D = depth
     kern = _make_kernel(D, instanced, do_prune)
@@ -388,6 +399,8 @@ def walk_iter(row_t, W, depth, instanced, sq, block=DEFAULT_BLOCK,
       *[W[k] for k in W_KEYS])
     new = dict(zip(_RW_KEYS, out))
     new['rays'] = W['rays']
+    if pad:
+        new = {k: v[:, :n0] for k, v in new.items()}
     return new
 
 

@@ -125,3 +125,16 @@ def test_fused_pallas_matches_jnp():
     # photon_steps and services must agree too (same cadence)
     assert int(stats_j[0]) == int(stats_p[0])
     assert int(stats_j[1]) == int(stats_p[1])
+
+
+def test_pallas_ragged_lane_width():
+    """Lane widths that are not a block multiple are padded inside
+    walk_iter (regression: the fused driver's drain compaction used to
+    hand the kernel 1024//3-wide lanes, whose ragged tail block DMA'd
+    past the buffer and faulted the device)."""
+    geom = _pack_single(make.sphere(50.0, nsteps=24))
+    for n in (341, 85, 129):
+        org, dirv = _rays(n, seed=7)
+        ref = mbvh_ops.intersect_mesh(org, dirv, geom)
+        out = MP.intersect_mesh_pallas(org, dirv, geom, block=128)
+        _assert_same(ref, out, n)
