@@ -230,6 +230,118 @@ def _service(lane, pool, next_ptr, key, geom, max_steps, scatter_first,
     return lane, pool, next_ptr, key
 
 
+def _service_all(lanes, pools, next_ptrs, keys, geom, max_steps,
+                 scatter_first, use_weights, idx_bases, pal):
+    """Service every chain in ONE merged physics pass.
+
+    The service pass is dominated by per-op fixed costs, not volume
+    (profile_service2: a fully stubbed pass still costs ~0.13 ms at
+    w=8192), so running the draw + predication lattice + physics once
+    over the concatenated lanes costs roughly one chain's base instead
+    of C of them.  Only the photon-side keys are concatenated (cheap
+    (w, 3)-ish arrays); the pool retire/refill and the traversal
+    reseed — which touch per-chain pools and the big transposed
+    walker state — stay per chain."""
+    C = len(lanes)
+    if C == 1:
+        lane, pool, ptr, key = _service(
+            lanes[0], pools[0], next_ptrs[0], keys[0], geom, max_steps,
+            scatter_first, use_weights, idx_base=idx_bases[0], pal=pal)
+        return [lane], [pool], [ptr], [key]
+    ws = [lane['pos'].shape[0] for lane in lanes]
+    w_all = sum(ws)
+    key0, sk = jax.random.split(keys[0])
+    keys = [key0] + list(keys[1:])
+    u = jax.random.uniform(sk, (w_all, NDRAWS), dtype=jnp.float32)
+
+    def cat(k):
+        return jnp.concatenate([ln[k] for ln in lanes], axis=0)
+
+    big = {k: cat(k) for k in _PHOTON_KEYS}
+    step = cat('step')
+    holding = cat('holding')
+    if pal:
+        trav_done = jnp.concatenate(
+            [ln['W_uregs'][MP.U_ACT] == 0 for ln in lanes])
+        parts = [_pallas_results(ln) for ln in lanes]
+    else:
+        trav_done = jnp.concatenate(
+            [~jnp.any(ln['masks'] != 0, axis=(1, 2)) for ln in lanes])
+        parts = [dict(triangle=ln['best_tri'], distance=ln['min_dist'],
+                      normal=ln['best_norm'],
+                      material_code=ln['best_mat'],
+                      incomplete=jnp.zeros(w, bool))
+                 for w, ln in zip(ws, lanes)]
+    res = {k: jnp.concatenate([p[k] for p in parts], axis=0)
+           for k in parts[0]}
+
+    alive = (big['flags'] & jnp.uint32(event.TERMINAL_FLAGS)) == 0
+    bad = jnp.isnan(jnp.sum(big['dir'], axis=1)
+                    + jnp.sum(big['pos'], axis=1))
+    ready = holding & alive & trav_done & (step < max_steps)
+    nan_mask = ready & bad
+    flags = jnp.where(nan_mask,
+                      big['flags']
+                      | jnp.uint32(event.NO_HIT | event.NAN_ABORT),
+                      big['flags'])
+    active = ready & ~bad
+    sf = jnp.where(step == 0, scatter_first, 0)
+    new_state = physics_update(big, res, geom, u, flags, active,
+                               nan_mask, sf, use_weights=use_weights)
+    big.update(new_state)
+    step = step + ready.astype(jnp.int32)
+
+    # ---- split back; per-chain retire/refill/reseed tails -----------
+    out_lanes, out_pools, out_ptrs = [], [], []
+    off = 0
+    for c in range(C):
+        w = ws[c]
+
+        def sl(v, off=off, w=w):
+            return jax.lax.slice_in_dim(v, off, off + w)
+
+        lane = dict(lanes[c], step=sl(step))
+        for k in _PHOTON_KEYS:
+            lane[k] = sl(big[k])
+        pool, next_ptr = pools[c], next_ptrs[c]
+        n_pool = pool.shape[0]
+        holding_c = sl(holding)
+        trav_done_c = sl(trav_done)
+
+        alive2 = (lane['flags'] & jnp.uint32(event.TERMINAL_FLAGS)) == 0
+        finished = holding_c & trav_done_c \
+            & (~alive2 | (lane['step'] >= max_steps))
+        out_idx = jnp.where(
+            finished, lane['index'].astype(jnp.int32) - idx_bases[c],
+            n_pool)
+        packed = _pack(lane)
+        pool = pool.at[out_idx].set(packed, mode='drop')
+
+        rank = jnp.cumsum(finished.astype(jnp.int32)) - 1
+        grab = next_ptr + rank
+        have = finished & (grab < n_pool)
+        src = jnp.clip(grab, 0, n_pool - 1)
+        fresh = _unpack(jnp.where(have[:, None], pool[src], packed))
+        for k in _PHOTON_KEYS:
+            lane[k] = fresh[k]
+        lane['step'] = jnp.where(have, 0, lane['step'])
+        lane['holding'] = (holding_c & ~finished) | have
+        next_ptr = next_ptr + jnp.sum(finished.astype(jnp.int32))
+
+        alive3 = (lane['flags'] & jnp.uint32(event.TERMINAL_FLAGS)) == 0
+        ok = ~jnp.isnan(jnp.sum(lane['dir'], axis=1)
+                        + jnp.sum(lane['pos'], axis=1))
+        need = lane['holding'] & alive3 & ok & trav_done_c \
+            & (lane['step'] < max_steps)
+        lane = _reseed_pallas(lane, need, geom) if pal \
+            else _reseed(lane, need, geom)
+        out_lanes.append(lane)
+        out_pools.append(pool)
+        out_ptrs.append(next_ptr)
+        off += w
+    return out_lanes, out_pools, out_ptrs, keys
+
+
 def _compact_lanes(lane, m):
     """Stable-partition holding lanes to the front; keep the first m.
     Pallas-walker arrays (``W_`` keys) are (rows, lanes)-transposed and
@@ -413,10 +525,10 @@ def propagate_fused(state, geom, key, max_steps=100, use_weights=False,
                      jnp.sum(ready).astype(jnp.int32),
                      jnp.sum(holding).astype(jnp.int32) * service_every,
                      jnp.asarray(0, jnp.int32)])
-                lanes[c], pools[c], next_ptrs[c], keys[c] = _service(
-                    lanes[c], pools[c], next_ptrs[c], keys[c], geom,
-                    max_steps, scatter_first, use_weights,
-                    idx_base=int(seg_lo[c]), pal=pal)
+            lanes, pools, next_ptrs, keys = _service_all(
+                lanes, pools, next_ptrs, keys, geom, max_steps,
+                scatter_first, use_weights,
+                [int(x) for x in seg_lo[:len(lanes)]], pal)
             return (tuple(lanes), tuple(pools), tuple(next_ptrs),
                     tuple(keys), stats)
         return body

@@ -318,7 +318,7 @@ def _walk_body(geom, depth, do_prune=True):
         masks = jnp.where(sel[:, :, None], hitmask[:, None, :], masks)
         bases = jnp.where(sel, row[:, HDR_BASE][:, None], bases)
         newcodes = jnp.where(
-            b_ok, jnp.clip(jnp.floor(tmin * sq), 0.0, 65535.0),
+            b_ok, jnp.clip(jnp.floor(tmin * sq), 0.0, 65534.0),
             65535.0).astype(jnp.uint16)
         tcodes = jnp.where(sel[:, :, None], newcodes[:, None, :], tcodes)
 
@@ -386,7 +386,7 @@ def root_seed(geom, depth, inv_dir, noid, active):
     bases = bases.at[:, 1].set(root[HDR_BASE])
     sq = tquant_scale(geom)
     codes = jnp.where(b_ok,
-                      jnp.clip(jnp.floor(tmin * sq), 0.0, 65535.0),
+                      jnp.clip(jnp.floor(tmin * sq), 0.0, 65534.0),
                       65535.0).astype(jnp.uint16)
     tcodes = tcodes.at[:, 1, :].set(codes)
     return masks, bases, tcodes

@@ -82,7 +82,15 @@ H_MIN, H_NRM = 0, 1
 # iinv 15:18, inoid 18:21, pad 21:24
 I_ROT, I_ORG, I_DIR, I_INV, I_NOID, I_ROWS = 0, 9, 12, 15, 18, 24
 
-_SENT = 1 << 16          # tcode sentinel: slot absent or already popped
+_SENT = 1 << 16          # conceptual sentinel (unbiased code space)
+# Stored tcodes are BIASED int16: stored = code - 32768 with codes
+# clipped to [0, 65534], sentinel stored as 32767 (int16 max).  The
+# bias preserves ordering exactly, halves the walker's dominant state
+# DMA (tcodes are (D*BRANCH, n) and the iteration is volume-bound on
+# the state round trip — tools/profile_walk_kernel.py), and keeps the
+# sentinel strictly greater than any valid code or prune threshold.
+_BIAS = 32768
+_SENT16 = 32767
 
 
 def _f32(x):
@@ -265,11 +273,14 @@ def _make_kernel(depth, instanced, do_prune=True):
             tmax = big if tmax is None else jnp.minimum(tmax, big)
         tmin = jnp.maximum(tmin, 0.0)
         b_ok = (tmin <= tmax) & (tmin <= min_dist) & (iota_slot < count)
-        newcodes = jnp.where(
-            b_ok, jnp.clip(jnp.floor(tmin * sq), 0.0, 65535.0),
-            float(_SENT)).astype(jnp.int32)                # (BRANCH, B)
+        # biased-i16 code space (see _BIAS above); level math runs in
+        # i32 (Mosaic has no i16 reductions), only the HBM-resident
+        # tcodes state is i16
+        newcodes = (jnp.where(
+            b_ok, jnp.clip(jnp.floor(tmin * sq), 0.0, 65534.0),
+            65535.0) - float(_BIAS)).astype(jnp.int32)     # (BRANCH, B)
         push = (is_internal
-                & (jnp.min(newcodes, axis=0, keepdims=True) < _SENT)
+                & (jnp.min(newcodes, axis=0, keepdims=True) < _SENT16)
                 & (lvl_cur + 1 < D))
         newbase = _i32(row[HDR_BASE:HDR_BASE + 1, :])
 
@@ -278,14 +289,15 @@ def _make_kernel(depth, instanced, do_prune=True):
         # beat the best hit; the threshold only decreases during a
         # walk, so dead levels stay dead without being cleared --------
         if do_prune:
-            thresh = jnp.clip(jnp.floor(min_dist * sq) + 1.0, 0.0,
-                              65535.0).astype(jnp.int32)   # (1, B)
+            thresh = (jnp.clip(jnp.floor(min_dist * sq) + 1.0, 0.0,
+                               65534.0) - float(_BIAS)) \
+                .astype(jnp.int32)                         # (1, B)
         else:
-            thresh = jnp.full_like(lvl_cur, 65535)
-        tcodes = tcodes_ref[:, :]                          # (D*BRANCH,B) i32
+            thresh = jnp.full((1, b), _SENT16 - 1, jnp.int32)
+        tcodes = tcodes_ref[:, :].astype(jnp.int32)        # (D*BRANCH,B)
         bases = bases_ref[:, :]                            # (D, B)
         lvl = jnp.full_like(lvl_cur, -1)
-        tl_sel = jnp.full((BRANCH, b), _SENT, jnp.int32)
+        tl_sel = jnp.full((BRANCH, b), _SENT16, jnp.int32)
         base_sel = jnp.zeros_like(lvl_cur)
         new_tcodes = []
         new_bases = []
@@ -309,13 +321,14 @@ def _make_kernel(depth, instanced, do_prune=True):
                     keepdims=True)                         # (1, B)
         for l in range(D):
             on_l = lvl == l
-            new_tcodes[l] = jnp.where(on_l & (iota_slot == c), _SENT,
+            new_tcodes[l] = jnp.where(on_l & (iota_slot == c), _SENT16,
                                       new_tcodes[l])
         ptr_n = jnp.where(act_n, _u32(base_sel) + _u32(c),
                           jnp.uint32(0))
 
         # ---- commit --------------------------------------------------
-        otcodes_ref[:, :] = jnp.concatenate(new_tcodes, axis=0)
+        otcodes_ref[:, :] = jnp.concatenate(new_tcodes,
+                                            axis=0).astype(jnp.int16)
         obases_ref[:, :] = jnp.concatenate(new_bases, axis=0)
         ouregs_ref[:, :] = jnp.concatenate([
             ptr_n,
@@ -382,7 +395,7 @@ def walk_iter(row_t, W, depth, instanced, sq, block=DEFAULT_BLOCK,
 
     shapes = dict(rays=(12, n), tcodes=(D * BRANCH, n), bases=(D, n),
                   uregs=(8, n), hregs=(4, n), iregs=(I_ROWS, n))
-    dtypes = dict(rays=jnp.float32, tcodes=jnp.int32, bases=jnp.int32,
+    dtypes = dict(rays=jnp.float32, tcodes=jnp.int16, bases=jnp.int32,
                   uregs=jnp.uint32, hregs=jnp.float32, iregs=jnp.float32)
 
     out = pl.pallas_call(
@@ -418,7 +431,7 @@ def seed(geom, depth, org_t, dir_t, lht, active):
     noid_t = -org_t * inv_t
 
     bases = jnp.zeros((D, n), jnp.int32)
-    tcodes = jnp.full((D * BRANCH, n), _SENT, jnp.int32)
+    tcodes = jnp.full((D * BRANCH, n), _SENT16, jnp.int16)
 
     root = geom.mbvh_rows[0]
     sq = tquant_scale(geom)
@@ -451,15 +464,17 @@ def seed(geom, depth, org_t, dir_t, lht, active):
         count = (root[HDR_KIND] >> jnp.uint32(8)).astype(jnp.int32)
         b_ok = ((tmin <= tmax) & (iota_slot < count)
                 & active[None, :])                         # (BRANCH, n)
-        codes = jnp.where(b_ok,
-                          jnp.clip(jnp.floor(tmin * sq), 0.0, 65535.0),
-                          float(_SENT)).astype(jnp.int32)
+        codes = (jnp.where(b_ok,
+                           jnp.clip(jnp.floor(tmin * sq), 0.0, 65534.0),
+                           65535.0) - float(_BIAS)) \
+            .astype(jnp.int32).astype(jnp.int16)
         # first pop: nearest root child, ties to lowest slot
         m = jnp.min(codes, axis=0, keepdims=True)
         c = jnp.min(jnp.where((codes == m) & b_ok, iota_slot, BRANCH),
                     axis=0, keepdims=True)                 # (1, n)
         act = jnp.any(b_ok, axis=0)                        # (n,)
-        codes = jnp.where(iota_slot == c, _SENT, codes)    # pop it
+        codes = jnp.where(iota_slot == c, jnp.int16(_SENT16),
+                          codes)                           # pop it
         tcodes = tcodes.at[1 * BRANCH:2 * BRANCH, :].set(codes)
         bases = bases.at[1:2, :].set(
             jnp.broadcast_to(root[HDR_BASE].astype(jnp.int32)[None,

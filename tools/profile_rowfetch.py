@@ -84,6 +84,42 @@ def main():
     run('G2 rows[ptr] (no transpose)',
         lambda rows, ptr: rows[ptr],
         lambda blk: (blk[:, 0] & jnp.uint32(1023)), n, K)
+    two_streams(n, K)
+
+
+
+def two_streams(n, K):
+    """Two independent dependent-gather chains in one loop: if the
+    per-iteration wall stays ~one-stream, dependent gathers overlap
+    (more fused-driver chains can hide them); if it doubles, the
+    gather engine serializes them and chains cannot help."""
+    W_ = W
+    rows = jnp.asarray(
+        np.random.randint(0, 1 << 30, size=(R, W_), dtype=np.uint32))
+    pa = jnp.asarray(np.random.randint(0, R, size=n, dtype=np.int32))
+    pb = jnp.asarray(np.random.randint(0, R, size=n, dtype=np.int32))
+
+    @jax.jit
+    def loop(pa, pb):
+        def body(i, c):
+            pa, pb = c
+            ra = rows[pa].T
+            rb = rows[pb].T
+            sa = (ra[0, :] & jnp.uint32(1023)).astype(jnp.int32)
+            sb = (rb[0, :] & jnp.uint32(1023)).astype(jnp.int32)
+            return ((pa + sa) % R, (pb + sb) % R)
+        return jax.lax.fori_loop(0, K, body, (pa, pb))
+
+    _sync(loop(pa, pb))
+    ts = []
+    for _ in range(3):
+        t0 = time.time()
+        _sync(loop(pa, pb))
+        ts.append(time.time() - t0)
+    t = min(ts) / K
+    print(f'  two dependent streams              {t*1e6:8.1f} us/iter '
+          f'({t/n*1e9:6.2f} ns/lane-of-{n}, '
+          f'{t/(2*n)*1e9:6.2f} ns/fetched-row)', flush=True)
 
 
 if __name__ == '__main__':

@@ -74,7 +74,7 @@ def copy_iter(row_t, W, depth, block):
                            memory_space=pltpu.SMEM)
     shapes = dict(rays=(12, n), tcodes=(D * BRANCH, n), bases=(D, n),
                   uregs=(8, n), hregs=(4, n), iregs=(MP.I_ROWS, n))
-    dtypes = dict(rays=jnp.float32, tcodes=jnp.int32, bases=jnp.int32,
+    dtypes = dict(rays=jnp.float32, tcodes=jnp.int16, bases=jnp.int32,
                   uregs=jnp.uint32, hregs=jnp.float32,
                   iregs=jnp.float32)
     out = pl.pallas_call(
@@ -145,11 +145,65 @@ def main():
                                                  axis=0))
         return jax.lax.fori_loop(0, K, body, W)
 
+    # slim copy: only uregs/hregs round-trip the kernel; tcodes/bases/
+    # iregs/rays bypass it (isolates how much of the copy-through cost
+    # is state-DMA volume vs pallas fixed cost)
+    def slim_iter(row_t, W, block):
+        n = row_t.shape[1]
+        b = block
+
+        def kern(row_ref, uregs_ref, hregs_ref, ouregs_ref, ohregs_ref):
+            u = uregs_ref[:, :]
+            ptr = u[MP.U_PTR:MP.U_PTR + 1, :] ^ (row_ref[0:1, :]
+                                                 & jnp.uint32(1))
+            ouregs_ref[:, :] = jnp.concatenate([ptr, u[1:, :]], axis=0)
+            ohregs_ref[:, :] = hregs_ref[:, :]
+
+        def spec(rows_):
+            return pl.BlockSpec((rows_, b), lambda i: (0, i),
+                                memory_space=pltpu.VMEM)
+
+        out = pl.pallas_call(
+            kern,
+            grid=(n // b,),
+            in_specs=[spec(ROW_WIDTH), spec(8), spec(4)],
+            out_specs=(spec(8), spec(4)),
+            out_shape=(jax.ShapeDtypeStruct((8, n), jnp.uint32),
+                       jax.ShapeDtypeStruct((4, n), jnp.float32)),
+            input_output_aliases={1: 0, 2: 1},
+        )(row_t, W['uregs'], W['hregs'])
+        return dict(W, uregs=out[0], hregs=out[1])
+
+    @jax.jit
+    def loop_slim(W):
+        def body(i, W):
+            row_t = rows[ptr_of(W)].T
+            return slim_iter(row_t, W, block)
+        return jax.lax.fori_loop(0, K, body, W)
+
+    row_const = jnp.zeros((ROW_WIDTH, w), jnp.uint32)
+
+    @jax.jit
+    def loop_full_norow(W):
+        def body(i, W):
+            W = MP.walk_iter(row_const, W, depth, instanced, sq,
+                             block=block)
+            return W
+        return jax.lax.fori_loop(0, K, body, W)
+
+    @jax.jit
+    def loop_copy_norow(W):
+        def body(i, W):
+            return copy_iter(row_const, W, depth, block)
+        return jax.lax.fori_loop(0, K, body, W)
+
     for name, fn in (('full walk_iter', loop_full),
                      ('copy-through kernel', loop_copy),
-                     ('gather only', loop_gather)):
-        t = timeit(lambda fn=fn: loop_full(W0)['uregs']
-                   if False else fn(W0)['uregs'])
+                     ('slim copy (u+h only)', loop_slim),
+                     ('gather only', loop_gather),
+                     ('full, no gather', loop_full_norow),
+                     ('copy, no gather', loop_copy_norow)):
+        t = timeit(lambda fn=fn: fn(W0)['uregs'])
         per = t / K
         print(f'  {name:22s} {per*1e6:8.1f} us/iter '
               f'({per/w*1e9:6.2f} ns/lane)', flush=True)
