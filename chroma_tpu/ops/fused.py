@@ -64,10 +64,14 @@ def _use_pallas_default():
     return jax.default_backend() == 'tpu'
 
 SERVICE_EVERY = 10      # walker iterations between physics passes
-DEFAULT_WIDTH = 8192    # total lane width across chains
-                        # (tools/tune_fused*: narrow wins because
-                        # service cost scales with width)
-DEFAULT_CHAINS = int(os.environ.get('CHROMA_TPU_CHAINS', 2))
+DEFAULT_WIDTH = 12288   # total lane width across chains: 3 chains of
+                        # 4096 (r3, merged service pass) edge out 2 of
+                        # 4096 at w=8192 — the third chain's gathers
+                        # hide under the others' kernels while the
+                        # merged service keeps its base cost shared
+                        # (tools/tune_chains: 2.29M vs 2.26M; C=3 at
+                        # w=8192, i.e. 2731-lane chains, loses: 2.02M)
+DEFAULT_CHAINS = int(os.environ.get('CHROMA_TPU_CHAINS', 3))
 MIN_CHAIN_WIDTH = 2048  # below this, pipelining overhead beats the
                         # overlap win: fall back to one chain
 DRAIN_SHRINK = (8, 64)  # lane-compaction cascade for the pool-dry tail
