@@ -430,3 +430,48 @@ def test_fused_dynamic_service(water_box):
         err = 3 * np.sqrt(max(rs * (1 - rs), 1e-4) / n) * 2
         assert abs(rs - rd) < err + 0.01, (flag, rs, rd)
     assert abs(ps.t.mean() - pd.t.mean()) < 0.1 * ps.t.std() + 1e-3
+
+
+def test_fused_chains_uneven_segments(water_box, monkeypatch):
+    """Multi-chain fused driver with a photon count NOT divisible by
+    the chain count: pool segments differ by one, drain compaction
+    kicks in, and the merged service pass handles per-chain widths.
+    (Regression: chains=3 with n % 3 != 0 used to hand the Pallas
+    walker ragged lane widths and fault the device; on CPU it must
+    simply match single-chain physics.)"""
+    import jax
+    from chroma_tpu.ops import fused as F
+
+    monkeypatch.setattr(F, 'MIN_CHAIN_WIDTH', 128)
+    n = 2000   # 2000 % 3 != 0
+    rng = np.random.RandomState(3)
+    dirs = rng.normal(size=(n, 3)).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=1)[:, None]
+    pol = np.cross(rng.normal(size=(n, 3)), dirs).astype(np.float32)
+    pol /= np.linalg.norm(pol, axis=1)[:, None]
+    photons = event.Photons(pos=np.zeros((n, 3), np.float32), dir=dirs,
+                            pol=pol,
+                            wavelengths=np.full(n, 400.0, np.float32))
+
+    state = gpu_photon.upload_photons(photons)
+    out1, _ = F.propagate_fused(state, water_box, jax.random.PRNGKey(7),
+                                max_steps=20, width=768, chains=1)
+    p1 = gpu_photon.download_photons(out1)
+
+    state = gpu_photon.upload_photons(photons)
+    out3, _ = F.propagate_fused(state, water_box, jax.random.PRNGKey(8),
+                                max_steps=20, width=768, chains=3)
+    p3 = gpu_photon.download_photons(out3)
+
+    # slot order preserved; every photon terminated either way
+    np.testing.assert_array_equal(p3.wavelengths, photons.wavelengths)
+    term = jnp.uint32(event.TERMINAL_FLAGS)
+    assert ((p1.flags & term) != 0).all()
+    assert ((p3.flags & term) != 0).all()
+    # identical physics, different RNG pairing: flag rates must agree
+    for flag in (event.NO_HIT, event.BULK_ABSORB,
+                 event.RAYLEIGH_SCATTER):
+        r1 = ((p1.flags & flag) != 0).mean()
+        r3 = ((p3.flags & flag) != 0).mean()
+        sigma = np.sqrt(max(r1 * (1 - r1), 1e-6) / n) * 2
+        assert abs(r1 - r3) < 4 * sigma + 0.02, (flag, r1, r3)
