@@ -402,11 +402,12 @@ def _make_lane(state, geom, lo, w, depth, pal=False):
 @partial(jax.jit, static_argnames=('max_steps', 'use_weights', 'width',
                                    'service_every', 'chains',
                                    'use_pallas', 'prune',
-                                   'service_frac'))
+                                   'service_frac', 'collect_stats'))
 def propagate_fused(state, geom, key, max_steps=100, use_weights=False,
                     scatter_first=0, width=None,
                     service_every=SERVICE_EVERY, chains=None,
-                    use_pallas=None, prune=None, service_frac=None):
+                    use_pallas=None, prune=None, service_frac=None,
+                    collect_stats=None):
     """Propagate all photons in ``state`` to termination, fused.
 
     Returns ``(final_state, stats)`` where ``stats`` is an int32[4]
@@ -429,7 +430,16 @@ def propagate_fused(state, geom, key, max_steps=100, use_weights=False,
     iterations.  RNG pairing differs from the static cadence (draws
     are consumed per service pass), so results differ seed-to-seed but
     sample the same distributions.
+
+    ``collect_stats``: accumulate per-iteration active-lane counts into
+    ``stats[3]`` (the tune tools' util / rows-per-photon-step input).
+    The count is a full-width reduction after EVERY walker iteration —
+    measurable overhead on the hot path — so it defaults to off
+    (``stats[3] = 0``) unless CHROMA_TPU_STATS=1; stats[0..2] are
+    window-level sums and always collected.
     """
+    if collect_stats is None:
+        collect_stats = os.environ.get('CHROMA_TPU_STATS', '0') == '1'
     pal = _use_pallas_default() if use_pallas is None else use_pallas
     caller_index = state['index']
     state = dict(state, index=jnp.arange(state['pos'].shape[0],
@@ -494,9 +504,10 @@ def propagate_fused(state, geom, key, max_steps=100, use_weights=False,
             out = dict(lane)
             out.update({'W_' + k: v for k, v in W.items()})
             out['iters'] = lane['iters'] + 1
-            out['nactive'] = lane['nactive'] + jnp.sum(
-                jax.lax.bitcast_convert_type(
-                    W['uregs'][MP.U_ACT], jnp.int32))
+            if collect_stats:
+                out['nactive'] = lane['nactive'] + jnp.sum(
+                    jax.lax.bitcast_convert_type(
+                        W['uregs'][MP.U_ACT], jnp.int32))
             return out
 
     def _chain_pending(lane):

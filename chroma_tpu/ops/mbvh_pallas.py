@@ -93,6 +93,18 @@ _BIAS = 32768
 _SENT16 = 32767
 
 
+def nslots(depth):
+    """Pending-set slots carried in walker state.
+
+    Level 0 (the root row itself) never holds a pending set — ``seed``
+    slab-tests the root's children inline and parks them at level 1,
+    and in-kernel pushes go to ``lvl_cur + 1 >= 2`` — so slot ``s``
+    stores tree level ``s + 1`` and the dead level-0 rows are not
+    carried (saves BRANCH i16 rows of state DMA per lane-iteration
+    and one level of the fused scan)."""
+    return max(depth - 1, 1)
+
+
 def _f32(x):
     return jax.lax.bitcast_convert_type(x, jnp.float32)
 
@@ -105,7 +117,7 @@ def _i32(x):
     return jax.lax.bitcast_convert_type(x, jnp.int32)
 
 
-def _make_kernel(depth, instanced, do_prune=True):
+def _make_kernel(depth, instanced, do_prune=True, ondeck=False):
     """Kernel body closure for a static (depth, instanced, do_prune).
 
     ``do_prune=False`` disables the per-level prune, making the pop
@@ -113,12 +125,31 @@ def _make_kernel(depth, instanced, do_prune=True):
     pairing) exactly equal to the jnp walker at prune='off' — used by
     the bit-equality tests.  With pruning on, a lane can drain one
     iteration earlier than the jnp walker (the prune threshold here is
-    one row fresher), which only re-pairs RNG draws."""
-    D = depth
+    one row fresher), which only re-pairs RNG draws.
 
-    def kernel(sq_ref, row_ref, rays_ref, tcodes_ref, bases_ref,
-               uregs_ref, hregs_ref, iregs_ref, otcodes_ref, obases_ref,
-               ouregs_ref, ohregs_ref, oiregs_ref):
+    ``ondeck=True`` adds the drain-restart path: each lane carries a
+    pre-seeded ON-DECK ray (od_* inputs, written only by the service
+    pass).  The iteration a lane's walk drains, the kernel parks the
+    finished results in the ``park`` registers and immediately restarts
+    the lane on the on-deck ray — instead of idling until the next
+    service pass (the dominant loss at service_every=10: util 0.59).
+    Bookkeeping bits live in uregs[U_PAD]: bit0 ``parked`` (park holds
+    unconsumed results; also means the on-deck slot was consumed),
+    bit1 ``done`` (live registers hold an unserviced finished walk)."""
+    D = depth
+    S = nslots(depth)
+
+    def kernel(*refs):
+        if ondeck:
+            (sq_ref, rbase_ref, row_ref, od_rays_ref, od_tcodes_ref,
+             od_uregs_ref, rays_ref, tcodes_ref, bases_ref, uregs_ref,
+             hregs_ref, iregs_ref, park_ref, orays_ref, otcodes_ref,
+             obases_ref, ouregs_ref, ohregs_ref, oiregs_ref,
+             opark_ref) = refs
+        else:
+            (sq_ref, row_ref, rays_ref, tcodes_ref, bases_ref,
+             uregs_ref, hregs_ref, iregs_ref, otcodes_ref, obases_ref,
+             ouregs_ref, ohregs_ref, oiregs_ref) = refs
         sq = sq_ref[0, 0]
         b = row_ref.shape[1]
         iota_slot = jax.lax.broadcasted_iota(jnp.int32, (BRANCH, b), 0)
@@ -294,18 +325,21 @@ def _make_kernel(depth, instanced, do_prune=True):
                 .astype(jnp.int32)                         # (1, B)
         else:
             thresh = jnp.full((1, b), _SENT16 - 1, jnp.int32)
-        tcodes = tcodes_ref[:, :].astype(jnp.int32)        # (D*BRANCH,B)
-        bases = bases_ref[:, :]                            # (D, B)
+        # slot s holds tree level s + 1 (level 0 is never pending —
+        # see nslots)
+        tcodes = tcodes_ref[:, :].astype(jnp.int32)        # (S*BRANCH,B)
+        bases = bases_ref[:, :]                            # (S, B)
         lvl = jnp.full_like(lvl_cur, -1)
         tl_sel = jnp.full((BRANCH, b), _SENT16, jnp.int32)
         base_sel = jnp.zeros_like(lvl_cur)
         new_tcodes = []
         new_bases = []
-        for l in range(D):
+        for s in range(S):
+            l = s + 1
             sel = push & (lvl_cur + 1 == l)                # (1, B)
             tc_l = jnp.where(sel, newcodes,
-                             tcodes[l * BRANCH:(l + 1) * BRANCH, :])
-            b_l = jnp.where(sel, newbase, bases[l:l + 1, :])
+                             tcodes[s * BRANCH:(s + 1) * BRANCH, :])
+            b_l = jnp.where(sel, newbase, bases[s:s + 1, :])
             m_l = jnp.min(tc_l, axis=0, keepdims=True)     # (1, B)
             live = m_l <= thresh                           # pending+near
             lvl = jnp.where(live, l, lvl)                  # deepest wins
@@ -319,28 +353,74 @@ def _make_kernel(depth, instanced, do_prune=True):
         m = jnp.min(tl_sel, axis=0, keepdims=True)
         c = jnp.min(jnp.where(tl_sel == m, iota_slot, BRANCH), axis=0,
                     keepdims=True)                         # (1, B)
-        for l in range(D):
-            on_l = lvl == l
-            new_tcodes[l] = jnp.where(on_l & (iota_slot == c), _SENT16,
-                                      new_tcodes[l])
+        for s in range(S):
+            on_l = lvl == s + 1
+            new_tcodes[s] = jnp.where(on_l & (iota_slot == c), _SENT16,
+                                      new_tcodes[s])
         ptr_n = jnp.where(act_n, _u32(base_sel) + _u32(c),
                           jnp.uint32(0))
+
+        # ---- outputs (ondeck may override below) ---------------------
+        act_out = jnp.where(act_n, jnp.uint32(1), jnp.uint32(0))
+        lvl_out = _u32(lvl)
+        tri_out = _u32(best_tri)
+        mat_out = best_mat
+        lht_out = uregs_ref[U_LHT:U_LHT + 1, :]
+        tbase_out = (_u32(tri_base) if instanced
+                     else uregs_ref[U_TBASE:U_TBASE + 1, :])
+        pad_out = uregs_ref[U_PAD:U_PAD + 1, :]
+        md_out = min_dist
+        nrm_out = best_norm
+
+        if ondeck:
+            pad_in = _i32(pad_out)
+            parked = (pad_in & 1) != 0
+            done = ((pad_in & 2) != 0) | (act & ~act_n)
+            od_act = od_uregs_ref[1:2, :] != jnp.uint32(0)
+            swap = done & (~act_n) & (~parked) & od_act
+
+            # park the finished walk's results; restart on the on-deck
+            # ray (live registers reset exactly as ``seed`` would)
+            opark_ref[:, :] = jnp.concatenate([
+                jnp.where(swap, md_out, park_ref[0:1, :]),
+                jnp.where(swap, nrm_out, park_ref[1:4, :]),
+                jnp.where(swap, _f32(_i32(tri_out)), park_ref[4:5, :]),
+                jnp.where(swap, _f32(_i32(mat_out)), park_ref[5:6, :]),
+            ], axis=0)
+            od_org = od_rays_ref[0:3, :]
+            od_dir = od_rays_ref[3:6, :]
+            od_inv = 1.0 / od_dir
+            orays_ref[:, :] = jnp.where(
+                swap,
+                jnp.concatenate([od_org, od_dir, od_inv,
+                                 -od_org * od_inv], axis=0),
+                rays_ref[:, :])
+            md_out = jnp.where(swap, jnp.inf, md_out)
+            nrm_out = jnp.where(swap, 0.0, nrm_out)
+            tri_out = jnp.where(swap, jnp.uint32(0xFFFFFFFF), tri_out)
+            mat_out = jnp.where(swap, jnp.uint32(0), mat_out)
+            lht_out = jnp.where(swap, od_uregs_ref[2:3, :], lht_out)
+            tbase_out = jnp.where(swap, jnp.uint32(0), tbase_out)
+            ptr_n = jnp.where(swap, od_uregs_ref[0:1, :], ptr_n)
+            act_out = jnp.where(swap, jnp.uint32(1), act_out)
+            lvl_out = jnp.where(swap, jnp.uint32(1), lvl_out)
+            odt = od_tcodes_ref[:, :].astype(jnp.int32)
+            new_tcodes[0] = jnp.where(swap, odt, new_tcodes[0])
+            for s in range(1, S):
+                new_tcodes[s] = jnp.where(swap, _SENT16, new_tcodes[s])
+            new_bases[0] = jnp.where(swap, rbase_ref[0, 0],
+                                     new_bases[0])
+            pad_out = _u32(jnp.where(parked | swap, 1, 0)
+                           | jnp.where(done & ~swap, 2, 0))
 
         # ---- commit --------------------------------------------------
         otcodes_ref[:, :] = jnp.concatenate(new_tcodes,
                                             axis=0).astype(jnp.int16)
         obases_ref[:, :] = jnp.concatenate(new_bases, axis=0)
         ouregs_ref[:, :] = jnp.concatenate([
-            ptr_n,
-            jnp.where(act_n, jnp.uint32(1), jnp.uint32(0)),
-            _u32(lvl),
-            _u32(best_tri),
-            best_mat,
-            uregs_ref[U_LHT:U_LHT + 1, :],
-            (_u32(tri_base) if instanced
-             else uregs_ref[U_TBASE:U_TBASE + 1, :]),
-            uregs_ref[U_PAD:U_PAD + 1, :]], axis=0)
-        ohregs_ref[:, :] = jnp.concatenate([min_dist, best_norm], axis=0)
+            ptr_n, act_out, lvl_out, tri_out, mat_out, lht_out,
+            tbase_out, pad_out], axis=0)
+        ohregs_ref[:, :] = jnp.concatenate([md_out, nrm_out], axis=0)
         if instanced:
             oiregs_ref[:, :] = jnp.concatenate(
                 [irot, iorg, idir, iinv, inoid,
@@ -356,6 +436,13 @@ def _make_kernel(depth, instanced, do_prune=True):
 _RO_KEYS = ('rays',)
 _RW_KEYS = ('tcodes', 'bases', 'uregs', 'hregs', 'iregs')
 W_KEYS = _RO_KEYS + _RW_KEYS
+# ondeck mode: the od_* arrays are service-written kernel inputs; rays
+# becomes read-write (the swap loads the on-deck ray into it) and the
+# park registers hold the swapped-out walk's results
+OD_RO_KEYS = ('od_rays', 'od_tcodes', 'od_uregs')
+OD_RW_KEYS = ('rays', 'tcodes', 'bases', 'uregs', 'hregs', 'iregs',
+              'park')
+OD_W_KEYS = OD_RO_KEYS + OD_RW_KEYS
 
 
 @partial(jax.jit, static_argnames=('depth', 'instanced', 'block',
@@ -384,6 +471,7 @@ def walk_iter(row_t, W, depth, instanced, sq, block=DEFAULT_BLOCK,
     n = n0 + pad
     grid = (n // b,)
     D = depth
+    S = nslots(D)
     kern = _make_kernel(D, instanced, do_prune)
 
     def spec(rows_):
@@ -393,7 +481,7 @@ def walk_iter(row_t, W, depth, instanced, sq, block=DEFAULT_BLOCK,
     sq_spec = pl.BlockSpec((1, 1), lambda i: (0, 0),
                            memory_space=pltpu.SMEM)
 
-    shapes = dict(rays=(12, n), tcodes=(D * BRANCH, n), bases=(D, n),
+    shapes = dict(rays=(12, n), tcodes=(S * BRANCH, n), bases=(S, n),
                   uregs=(8, n), hregs=(4, n), iregs=(I_ROWS, n))
     dtypes = dict(rays=jnp.float32, tcodes=jnp.int16, bases=jnp.int32,
                   uregs=jnp.uint32, hregs=jnp.float32, iregs=jnp.float32)
@@ -427,11 +515,13 @@ def seed(geom, depth, org_t, dir_t, lht, active):
     """
     n = org_t.shape[1]
     D = depth
+    S = nslots(D)
     inv_t = 1.0 / dir_t
     noid_t = -org_t * inv_t
 
-    bases = jnp.zeros((D, n), jnp.int32)
-    tcodes = jnp.full((D * BRANCH, n), _SENT16, jnp.int16)
+    # slot s <-> tree level s + 1 (see nslots)
+    bases = jnp.zeros((S, n), jnp.int32)
+    tcodes = jnp.full((S * BRANCH, n), _SENT16, jnp.int16)
 
     root = geom.mbvh_rows[0]
     sq = tquant_scale(geom)
@@ -475,8 +565,8 @@ def seed(geom, depth, org_t, dir_t, lht, active):
         act = jnp.any(b_ok, axis=0)                        # (n,)
         codes = jnp.where(iota_slot == c, jnp.int16(_SENT16),
                           codes)                           # pop it
-        tcodes = tcodes.at[1 * BRANCH:2 * BRANCH, :].set(codes)
-        bases = bases.at[1:2, :].set(
+        tcodes = tcodes.at[0:BRANCH, :].set(codes)
+        bases = bases.at[0:1, :].set(
             jnp.broadcast_to(root[HDR_BASE].astype(jnp.int32)[None,
                                                               None],
                              (1, n)))

@@ -4,6 +4,7 @@ import os
 import sys
 import time
 
+os.environ.setdefault('CHROMA_TPU_STATS', '1')
 os.environ.setdefault('JAX_COMPILATION_CACHE_DIR',
                       '/tmp/chroma_tpu_jax_cache_tpu')
 
