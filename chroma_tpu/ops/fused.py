@@ -81,6 +81,7 @@ _PHOTON_KEYS = ('pos', 'dir', 'pol', 'wavelength', 't', 'weight',
 _WALK_RESET = ('best_tri', 'min_dist', 'best_norm', 'best_mat')
 # pallas-walker state keys: transposed (rows, lanes) arrays
 _W_KEYS = tuple('W_' + k for k in MP.W_KEYS)
+_W_KEYS_OD = tuple('W_' + k for k in MP.OD_W_KEYS)
 
 
 def _pack(state):
@@ -155,6 +156,203 @@ def _pallas_results(lane):
     return dict(triangle=r['triangle'], distance=r['distance'],
                 normal=r['normal'], material_code=r['material_code'],
                 incomplete=jnp.zeros(w, bool))
+
+
+def _service_ondeck(lanes, pools, next_ptrs, keys, geom, max_steps,
+                    scatter_first, use_weights, idx_bases):
+    """Ondeck-mode service: ONE merged physics pass over BOTH the
+    parked (swapped-out) photons and the walking photons of every
+    chain, then per-chain retire / slot redistribution / refill.
+
+    Each lane has two photon slots: WALKING (lane photon keys + live
+    walker registers) and ON-DECK (packed in ``odk_packed``).  The
+    kernel's drain-restart swap (mbvh_pallas._make_kernel ondeck)
+    moves the on-deck photon into the walking registers mid-window,
+    parking the finished walk's results — the lane dict's photon keys
+    then lag one photon behind until this pass reconciles:
+
+      parked bit set   -> lane keys = parked photon A (results in
+                          W_park); walking photon = odk_packed
+      parked bit clear -> lane keys = walking photon; on-deck photon
+                          (if any) unconsumed in odk_packed
+
+    After physics, a continuing parked photon or an unconsumed on-deck
+    photon (mutually exclusive — the swap consumes the on-deck slot
+    when it parks) becomes the new walking photon if that slot freed,
+    else goes (back) on deck; empty slots refill from the pool
+    (walking slot first, then on-deck)."""
+    C = len(lanes)
+    ws = [ln['pos'].shape[0] for ln in lanes]
+    w_all = sum(ws)
+    TERM = jnp.uint32(event.TERMINAL_FLAGS)
+    key0, sk = jax.random.split(keys[0])
+    keys = [key0] + list(keys[1:])
+    u = jax.random.uniform(sk, (2 * w_all, NDRAWS), dtype=jnp.float32)
+
+    def cat(vals):
+        return jnp.concatenate(vals, axis=0)
+
+    # ---- per-chain views: parked set P and walking set L ------------
+    parked_l, act_l, keysW_l, stepW_l, resP_l, resL_l = \
+        [], [], [], [], [], []
+    for ln in lanes:
+        Wd = {k[2:]: ln[k] for k in _W_KEYS_OD}
+        pr = MP.park_results(Wd)
+        parked = pr.pop('parked')
+        pr['incomplete'] = jnp.zeros(parked.shape[0], bool)
+        parked_l.append(parked)
+        act_l.append(ln['W_uregs'][MP.U_ACT] != 0)
+        odk = _unpack(ln['odk_packed'])
+        keysW_l.append({
+            k: jnp.where(parked[:, None] if ln[k].ndim == 2 else parked,
+                         odk[k], ln[k]) for k in _PHOTON_KEYS})
+        stepW_l.append(jnp.where(parked, ln['odk_step'], ln['step']))
+        resP_l.append(pr)
+        resL_l.append(_pallas_results(ln))
+
+    parked_a = cat(parked_l)
+    act_a = cat(act_l)
+    holding_a = cat([ln['holding'] for ln in lanes])
+    BIG = {k: jnp.concatenate(
+        [cat([ln[k] for ln in lanes]), cat([kw[k] for kw in keysW_l])],
+        axis=0) for k in _PHOTON_KEYS}
+    RES = {k: jnp.concatenate(
+        [cat([r[k] for r in resP_l]), cat([r[k] for r in resL_l])],
+        axis=0) for k in resL_l[0]}
+    step2 = jnp.concatenate([cat([ln['step'] for ln in lanes]),
+                             cat(stepW_l)])
+
+    # ---- one merged, fully predicated physics pass ------------------
+    aliveB = (BIG['flags'] & TERM) == 0
+    bad = jnp.isnan(jnp.sum(BIG['dir'], axis=1)
+                    + jnp.sum(BIG['pos'], axis=1))
+    ready = (jnp.concatenate([parked_a, holding_a & ~act_a])
+             & aliveB & (step2 < max_steps))
+    nan_mask = ready & bad
+    flags = jnp.where(nan_mask,
+                      BIG['flags']
+                      | jnp.uint32(event.NO_HIT | event.NAN_ABORT),
+                      BIG['flags'])
+    active = ready & ~bad
+    sf = jnp.where(step2 == 0, scatter_first, 0)
+    new_state = physics_update(BIG, RES, geom, u, flags, active,
+                               nan_mask, sf, use_weights=use_weights)
+    BIG.update(new_state)
+    step2 = step2 + ready.astype(jnp.int32)
+
+    # ---- per-chain retire / redistribute / refill -------------------
+    out_lanes, out_pools, out_ptrs = [], [], []
+    off = 0
+    for c in range(C):
+        w = ws[c]
+
+        def slP(v, off=off, w=w):
+            return jax.lax.slice_in_dim(v, off, off + w)
+
+        def slL(v, off=off, w=w):
+            return jax.lax.slice_in_dim(v, w_all + off, w_all + off + w)
+
+        A2 = {k: slP(BIG[k]) for k in _PHOTON_KEYS}
+        W2 = {k: slL(BIG[k]) for k in _PHOTON_KEYS}
+        stepA2 = slP(step2)
+        stepW2 = slL(step2)
+        parked = parked_l[c]
+        act = act_l[c]
+        lane = dict(lanes[c])
+        holding = lane['holding']
+        pool, next_ptr = pools[c], next_ptrs[c]
+        n_pool = pool.shape[0]
+
+        termA = (A2['flags'] & TERM) != 0
+        finishedA = parked & (termA | (stepA2 >= max_steps))
+        contA = parked & ~finishedA
+        packedA = _pack(A2)
+        out_idxA = jnp.where(
+            finishedA, A2['index'].astype(jnp.int32) - idx_bases[c],
+            n_pool)
+        pool = pool.at[out_idxA].set(packedA, mode='drop')
+
+        termW = (W2['flags'] & TERM) != 0
+        doneL = holding & ~act
+        finishedW = doneL & (termW | (stepW2 >= max_steps))
+        contW = doneL & ~finishedW
+        packedW = _pack(W2)
+        out_idxW = jnp.where(
+            finishedW, W2['index'].astype(jnp.int32) - idx_bases[c],
+            n_pool)
+        pool = pool.at[out_idxW].set(packedW, mode='drop')
+
+        # the spare continuing photon per lane: a surviving parked
+        # photon, or the unconsumed on-deck photon (never both)
+        busy = act
+        walk_stay = busy | contW
+        walk_free = ~walk_stay
+        odk_unc = lane['odk_live'] & ~parked
+        haveX = contA | odk_unc
+        Xpacked = jnp.where(parked[:, None], packedA,
+                            lane['odk_packed'])
+        Xstep = jnp.where(parked, stepA2, lane['odk_step'])
+
+        # walking slot: keep -> spare -> pool
+        fromX = walk_free & haveX
+        fill1 = walk_free & ~haveX
+        rank1 = jnp.cumsum(fill1.astype(jnp.int32)) - 1
+        grab1 = next_ptr + rank1
+        have1 = fill1 & (grab1 < n_pool)
+        src1 = jnp.clip(grab1, 0, n_pool - 1)
+        next_ptr = next_ptr + jnp.sum(fill1.astype(jnp.int32))
+        new_packed = jnp.where(
+            walk_stay[:, None], packedW,
+            jnp.where(fromX[:, None], Xpacked,
+                      jnp.where(have1[:, None], pool[src1], packedW)))
+        fresh = _unpack(new_packed)
+        for k in _PHOTON_KEYS:
+            lane[k] = fresh[k]
+        lane['step'] = jnp.where(
+            walk_stay, stepW2,
+            jnp.where(fromX, Xstep, jnp.zeros_like(stepW2)))
+        holding_next = walk_stay | fromX | have1
+        lane['holding'] = holding_next
+
+        # on-deck slot: unplaced spare -> pool
+        keepX = haveX & ~fromX
+        fill2 = holding_next & ~keepX
+        rank2 = jnp.cumsum(fill2.astype(jnp.int32)) - 1
+        grab2 = next_ptr + rank2
+        have2 = fill2 & (grab2 < n_pool)
+        src2 = jnp.clip(grab2, 0, n_pool - 1)
+        next_ptr = next_ptr + jnp.sum(fill2.astype(jnp.int32))
+        lane['odk_packed'] = jnp.where(
+            keepX[:, None], Xpacked,
+            jnp.where(have2[:, None], pool[src2], lane['odk_packed']))
+        lane['odk_step'] = jnp.where(keepX, Xstep, jnp.int32(0))
+        lane['odk_live'] = keepX | have2
+
+        # clear the kernel bookkeeping bits; seed the on-deck slot and
+        # reseed fresh walks
+        lane['W_uregs'] = lane['W_uregs'].at[MP.U_PAD].set(
+            jnp.zeros(w, jnp.uint32))
+        ofresh = _unpack(lane['odk_packed'])
+        ook = (lane['odk_live']
+               & ((ofresh['flags'] & TERM) == 0)
+               & ~jnp.isnan(jnp.sum(ofresh['dir'], axis=1)
+                            + jnp.sum(ofresh['pos'], axis=1)))
+        od = MP.od_seed(geom, int(geom.mbvh_depth), ofresh['pos'].T,
+                        ofresh['dir'].T, ofresh['last_hit_triangle'],
+                        ook)
+        for k, v in od.items():
+            lane['W_' + k] = v
+        alive3 = (lane['flags'] & TERM) == 0
+        ok = ~jnp.isnan(jnp.sum(lane['dir'], axis=1)
+                        + jnp.sum(lane['pos'], axis=1))
+        need = (holding_next & ~busy & alive3 & ok
+                & (lane['step'] < max_steps))
+        lane = _reseed_pallas(lane, need, geom)
+        out_lanes.append(lane)
+        out_pools.append(pool)
+        out_ptrs.append(next_ptr)
+        off += w
+    return out_lanes, out_pools, out_ptrs, keys
 
 
 def _service(lane, pool, next_ptr, key, geom, max_steps, scatter_first,
@@ -363,7 +561,7 @@ def _compact_lanes(lane, m):
             for k, v in lane.items()}
 
 
-def _make_lane(state, geom, lo, w, depth, pal=False):
+def _make_lane(state, geom, lo, w, depth, pal=False, ondeck=False):
     """Initial lane state for one chain: pool photons [lo, lo+w)."""
     lane = {k: jax.lax.slice_in_dim(v, lo, lo + w) for k, v in
             state.items()}
@@ -381,6 +579,14 @@ def _make_lane(state, geom, lo, w, depth, pal=False):
                     lane['dir'].T, lane['last_hit_triangle'],
                     alive & ok)
         lane.update({'W_' + k: v for k, v in W.items()})
+        if ondeck:
+            # empty on-deck/park slots; the first service pass fills
+            # them from the pool
+            lane.update({'W_' + k: v
+                         for k, v in MP.ondeck_empty(w).items()})
+            lane.update(odk_packed=jnp.zeros((w, 16), jnp.float32),
+                        odk_step=jnp.zeros(w, jnp.int32),
+                        odk_live=jnp.zeros(w, bool))
         return lane
     lane.update(
         masks=jnp.zeros((w, depth, NMASK_WORDS), jnp.uint32),
@@ -402,12 +608,13 @@ def _make_lane(state, geom, lo, w, depth, pal=False):
 @partial(jax.jit, static_argnames=('max_steps', 'use_weights', 'width',
                                    'service_every', 'chains',
                                    'use_pallas', 'prune',
-                                   'service_frac', 'collect_stats'))
+                                   'service_frac', 'collect_stats',
+                                   'ondeck'))
 def propagate_fused(state, geom, key, max_steps=100, use_weights=False,
                     scatter_first=0, width=None,
                     service_every=SERVICE_EVERY, chains=None,
                     use_pallas=None, prune=None, service_frac=None,
-                    collect_stats=None):
+                    collect_stats=None, ondeck=None):
     """Propagate all photons in ``state`` to termination, fused.
 
     Returns ``(final_state, stats)`` where ``stats`` is an int32[4]
@@ -441,6 +648,12 @@ def propagate_fused(state, geom, key, max_steps=100, use_weights=False,
     if collect_stats is None:
         collect_stats = os.environ.get('CHROMA_TPU_STATS', '0') == '1'
     pal = _use_pallas_default() if use_pallas is None else use_pallas
+    if ondeck is None:
+        ondeck = os.environ.get('CHROMA_TPU_ONDECK', '1') == '1'
+    # the drain-restart path lives in the Pallas kernel and uses the
+    # static service cadence
+    ondeck = bool(ondeck) and pal and service_frac is None \
+        and os.environ.get('CHROMA_TPU_SERVICE_FRAC') is None
     caller_index = state['index']
     state = dict(state, index=jnp.arange(state['pos'].shape[0],
                                          dtype=jnp.uint32))
@@ -463,7 +676,8 @@ def propagate_fused(state, geom, key, max_steps=100, use_weights=False,
 
     pools = [jax.lax.slice_in_dim(packed, seg_lo[c], seg_lo[c + 1])
              for c in range(nchains)]
-    lanes = [_make_lane(state, geom, seg_lo[c], w_c[c], depth, pal=pal)
+    lanes = [_make_lane(state, geom, seg_lo[c], w_c[c], depth, pal=pal,
+                        ondeck=ondeck)
              for c in range(nchains)]
     next_ptrs = [jnp.asarray(w_c[c], jnp.int32) for c in range(nchains)]
     keys = list(jax.random.split(key, nchains))
@@ -493,14 +707,18 @@ def propagate_fused(state, geom, key, max_steps=100, use_weights=False,
         p_depth = int(geom.mbvh_depth)
         sq = mbvh.tquant_scale(geom)
         rows = geom.mbvh_rows
+        rbase = rows[0, mbvh.HDR_BASE].astype(jnp.int32) if ondeck \
+            else None
+        wkeys = _W_KEYS_OD if ondeck else _W_KEYS
 
         def pallas_step(lane):
-            W = {k[2:]: lane[k] for k in _W_KEYS}
+            W = {k[2:]: lane[k] for k in wkeys}
             ptr = jax.lax.bitcast_convert_type(W['uregs'][MP.U_PTR],
                                                jnp.int32)
             row_t = rows[ptr].T
             W = MP.walk_iter(row_t, W, p_depth, instanced, sq,
-                             do_prune=(prune != 'off'))
+                             do_prune=(prune != 'off'),
+                             ondeck=ondeck, rbase=rbase)
             out = dict(lane)
             out.update({'W_' + k: v for k, v in W.items()})
             out['iters'] = lane['iters'] + 1
@@ -534,16 +752,31 @@ def propagate_fused(state, geom, key, max_steps=100, use_weights=False,
                     lanes[c] = wf(lanes[c])
             for c in range(len(lanes)):
                 holding = lanes[c]['holding']
-                ready = holding & ~_chain_pending(lanes[c])
+                ready = jnp.sum(holding & ~_chain_pending(lanes[c])) \
+                    .astype(jnp.int32)
+                if ondeck:
+                    # parked (swapped-out) photons are serviced too —
+                    # a lane can retire BOTH a parked and a live-done
+                    # photon in one pass, so add, don't OR
+                    pad = jax.lax.bitcast_convert_type(
+                        lanes[c]['W_uregs'][MP.U_PAD], jnp.int32)
+                    ready = ready + jnp.sum((pad & 1) != 0) \
+                        .astype(jnp.int32)
                 stats = stats + jnp.stack(
                     [jnp.asarray(1 if c == 0 else 0, jnp.int32),
-                     jnp.sum(ready).astype(jnp.int32),
+                     ready,
                      jnp.sum(holding).astype(jnp.int32) * service_every,
                      jnp.asarray(0, jnp.int32)])
-            lanes, pools, next_ptrs, keys = _service_all(
-                lanes, pools, next_ptrs, keys, geom, max_steps,
-                scatter_first, use_weights,
-                [int(x) for x in seg_lo[:len(lanes)]], pal)
+            if ondeck:
+                lanes, pools, next_ptrs, keys = _service_ondeck(
+                    lanes, pools, next_ptrs, keys, geom, max_steps,
+                    scatter_first, use_weights,
+                    [int(x) for x in seg_lo[:len(lanes)]])
+            else:
+                lanes, pools, next_ptrs, keys = _service_all(
+                    lanes, pools, next_ptrs, keys, geom, max_steps,
+                    scatter_first, use_weights,
+                    [int(x) for x in seg_lo[:len(lanes)]], pal)
             return (tuple(lanes), tuple(pools), tuple(next_ptrs),
                     tuple(keys), stats)
         return body

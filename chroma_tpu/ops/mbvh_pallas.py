@@ -446,15 +446,22 @@ OD_W_KEYS = OD_RO_KEYS + OD_RW_KEYS
 
 
 @partial(jax.jit, static_argnames=('depth', 'instanced', 'block',
-                                   'do_prune'))
+                                   'do_prune', 'ondeck'))
 def walk_iter(row_t, W, depth, instanced, sq, block=DEFAULT_BLOCK,
-              do_prune=True):
+              do_prune=True, ondeck=False, rbase=None):
     """One walker iteration over all lanes.
 
     ``row_t``: (ROW_WIDTH, n) u32 — transposed gathered rows.
     ``W``: walker-state dict (see ``seed``); returned updated, with
     ``W['uregs'][U_PTR]`` the next row to gather and ``U_ACT`` the
-    live flag.  ``W['rays']`` is passed through untouched.
+    live flag.  ``W['rays']`` is passed through untouched (non-ondeck
+    mode only; the ondeck swap rewrites it).
+
+    ``ondeck``: enable the drain-restart path (see ``_make_kernel``).
+    ``W`` must then also carry the ``od_*``/``park`` arrays
+    (``ondeck_empty``/``od_seed``), and ``rbase`` must be the root
+    row's HDR_BASE (i32 scalar) so a restarted lane's slot-0 pending
+    set points at the root's children.
     """
     n0 = row_t.shape[1]
     b = block
@@ -472,7 +479,7 @@ def walk_iter(row_t, W, depth, instanced, sq, block=DEFAULT_BLOCK,
     grid = (n // b,)
     D = depth
     S = nslots(D)
-    kern = _make_kernel(D, instanced, do_prune)
+    kern = _make_kernel(D, instanced, do_prune, ondeck=ondeck)
 
     def spec(rows_):
         return pl.BlockSpec((rows_, b), lambda i: (0, i),
@@ -482,24 +489,36 @@ def walk_iter(row_t, W, depth, instanced, sq, block=DEFAULT_BLOCK,
                            memory_space=pltpu.SMEM)
 
     shapes = dict(rays=(12, n), tcodes=(S * BRANCH, n), bases=(S, n),
-                  uregs=(8, n), hregs=(4, n), iregs=(I_ROWS, n))
+                  uregs=(8, n), hregs=(4, n), iregs=(I_ROWS, n),
+                  od_rays=(6, n), od_tcodes=(BRANCH, n),
+                  od_uregs=(3, n), park=(6, n))
     dtypes = dict(rays=jnp.float32, tcodes=jnp.int16, bases=jnp.int32,
-                  uregs=jnp.uint32, hregs=jnp.float32, iregs=jnp.float32)
+                  uregs=jnp.uint32, hregs=jnp.float32, iregs=jnp.float32,
+                  od_rays=jnp.float32, od_tcodes=jnp.int16,
+                  od_uregs=jnp.uint32, park=jnp.float32)
 
+    ro_keys = OD_RO_KEYS if ondeck else _RO_KEYS
+    rw_keys = OD_RW_KEYS if ondeck else _RW_KEYS
+    scalars = [jnp.reshape(jnp.asarray(sq, jnp.float32), (1, 1))]
+    if ondeck:
+        scalars.append(jnp.reshape(jnp.asarray(rbase, jnp.int32),
+                                   (1, 1)))
+    n_lead = len(scalars) + 1          # scalar refs + the row block
     out = pl.pallas_call(
         kern,
         grid=grid,
-        in_specs=[sq_spec, spec(ROW_WIDTH)]
-        + [spec(shapes[k][0]) for k in W_KEYS],
-        out_specs=tuple(spec(shapes[k][0]) for k in _RW_KEYS),
+        in_specs=[sq_spec] * len(scalars) + [spec(ROW_WIDTH)]
+        + [spec(shapes[k][0]) for k in ro_keys + rw_keys],
+        out_specs=tuple(spec(shapes[k][0]) for k in rw_keys),
         out_shape=tuple(jax.ShapeDtypeStruct(shapes[k], dtypes[k])
-                        for k in _RW_KEYS),
-        input_output_aliases={i + 3: i for i in range(len(_RW_KEYS))},
+                        for k in rw_keys),
+        input_output_aliases={i + n_lead + len(ro_keys): i
+                              for i in range(len(rw_keys))},
         interpret=_interpret(),
-    )(jnp.reshape(jnp.asarray(sq, jnp.float32), (1, 1)), row_t,
-      *[W[k] for k in W_KEYS])
-    new = dict(zip(_RW_KEYS, out))
-    new['rays'] = W['rays']
+    )(*scalars, row_t, *[W[k] for k in ro_keys + rw_keys])
+    new = dict(zip(rw_keys, out))
+    for k in ro_keys:
+        new[k] = W[k]
     if pad:
         new = {k: v[:, :n0] for k, v in new.items()}
     return new
@@ -592,6 +611,41 @@ def seed(geom, depth, org_t, dir_t, lht, active):
         iregs = iregs.at[I_DIR:I_INV + 3, :].set(1.0)  # idir=iinv=1
     return dict(rays=rays, tcodes=tcodes, bases=bases, uregs=uregs,
                 hregs=hregs, iregs=iregs)
+
+
+def ondeck_empty(n):
+    """Empty on-deck/park walker-state extras (ondeck mode): no on-deck
+    ray (od_act=0), nothing parked."""
+    return dict(od_rays=jnp.zeros((6, n), jnp.float32),
+                od_tcodes=jnp.full((BRANCH, n), _SENT16, jnp.int16),
+                od_uregs=jnp.zeros((3, n), jnp.uint32),
+                park=jnp.zeros((6, n), jnp.float32))
+
+
+def od_seed(geom, depth, org_t, dir_t, lht, valid):
+    """Seed the per-lane ON-DECK slot: the fresh ray's registers,
+    root-children codes and first pop, packed into the three od_*
+    walker inputs (od_uregs rows = [ptr, act, lht])."""
+    W = seed(geom, depth, org_t, dir_t, lht, valid)
+    return dict(od_rays=W['rays'][0:6],
+                od_tcodes=W['tcodes'][0:BRANCH],
+                od_uregs=jnp.stack([W['uregs'][U_PTR],
+                                    W['uregs'][U_ACT],
+                                    W['uregs'][U_LHT]], axis=0))
+
+
+def park_results(W):
+    """Traversal results parked by an in-kernel drain-restart swap
+    (ondeck mode), standard (n,)/(n,3) layout."""
+    p = W['park']
+    return dict(
+        triangle=jax.lax.bitcast_convert_type(p[4], jnp.int32),
+        distance=p[0],
+        normal=p[1:4].T,
+        material_code=jax.lax.bitcast_convert_type(p[5], jnp.uint32),
+        parked=(jax.lax.bitcast_convert_type(W['uregs'][U_PAD],
+                                             jnp.int32) & 1) != 0,
+    )
 
 
 def results(W):

@@ -117,7 +117,7 @@ def test_fused_pallas_matches_jnp():
                                      prune='off')
     out_p, stats_p = propagate_fused(state, geom, key, max_steps=20,
                                      width=n, use_pallas=True,
-                                     prune='off')
+                                     prune='off', ondeck=False)
     for k in out_j:
         a, b = np.asarray(out_j[k]), np.asarray(out_p[k])
         assert np.array_equal(a, b, equal_nan=True), \
@@ -125,6 +125,66 @@ def test_fused_pallas_matches_jnp():
     # photon_steps and services must agree too (same cadence)
     assert int(stats_j[0]) == int(stats_p[0])
     assert int(stats_j[1]) == int(stats_p[1])
+
+
+def test_fused_ondeck_conserves_photons():
+    """The ondeck drain-restart driver must retire every input photon
+    exactly once to its own pool slot (order-preserving), with sane
+    terminal flags, and its detection statistics must agree with the
+    non-ondeck driver within Poisson tolerance."""
+    import jax
+    from chroma_tpu import event
+    from chroma_tpu.demo import tiny
+    from chroma_tpu.ops.fused import propagate_fused
+    from chroma_tpu.generator.photon import photon_bomb
+
+    geo = tiny()
+    geo.flatten()
+    geom = pack_geometry(geo)
+    n = 768    # > width so the pool refill path runs
+    np.random.seed(13)
+    ph = photon_bomb(n, 400.0, (0.0, 0.0, 0.0)).photons_beg
+    state = dict(
+        pos=jnp.asarray(ph.pos, jnp.float32),
+        dir=jnp.asarray(ph.dir, jnp.float32),
+        pol=jnp.asarray(ph.pol, jnp.float32),
+        wavelength=jnp.asarray(ph.wavelengths, jnp.float32),
+        t=jnp.asarray(ph.t, jnp.float32),
+        weight=jnp.asarray(ph.weights, jnp.float32),
+        flags=jnp.asarray(ph.flags, jnp.uint32),
+        last_hit_triangle=jnp.full(n, -1, jnp.int32),
+        evidx=jnp.zeros(n, jnp.uint32),
+        index=jnp.arange(n, dtype=jnp.uint32),
+    )
+    key = jax.random.PRNGKey(19)
+    out_o, stats_o = propagate_fused(state, geom, key, max_steps=40,
+                                     width=256, use_pallas=True,
+                                     ondeck=True)
+    out_r, stats_r = propagate_fused(state, geom, key, max_steps=40,
+                                     width=256, use_pallas=True,
+                                     ondeck=False)
+    # order preserved; every photon terminal (or out of steps)
+    assert np.array_equal(np.asarray(out_o['index']),
+                          np.asarray(state['index']))
+    assert np.array_equal(np.asarray(out_o['evidx']),
+                          np.asarray(state['evidx']))
+    flags_o = np.asarray(out_o['flags'])
+    term = flags_o & event.TERMINAL_FLAGS
+    # photons may also run out of steps mid-flight; those carry no
+    # terminal flag but must have moved
+    moved = ~np.isclose(np.asarray(out_o['t']),
+                        np.asarray(state['t']))
+    assert ((term != 0) | moved).all()
+    # same physics distribution as the non-ondeck driver (same seed,
+    # different RNG pairing): detection counts agree within Poisson
+    det_o = int(((flags_o & event.SURFACE_DETECT) != 0).sum())
+    det_r = int(((np.asarray(out_r['flags'])
+                  & event.SURFACE_DETECT) != 0).sum())
+    assert abs(det_o - det_r) < 6 * max(np.sqrt(det_r + 1), 3.0), \
+        (det_o, det_r)
+    # photon-step totals should be comparable (same physics; the
+    # restart path must not silently drop or duplicate steps)
+    assert 0.5 * int(stats_r[1]) <= int(stats_o[1]) <= 2 * int(stats_r[1])
 
 
 def test_pallas_ragged_lane_width():
