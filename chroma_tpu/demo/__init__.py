@@ -3,6 +3,13 @@
 ``detector()`` builds the benchmark geometry: a black sphere lined with
 10,055 8-inch PMTs (full variant) placed on a spherical spiral, filled with water.
 ``tiny()`` is a small variant for tests.
+
+Provenance note: ``spherical_spiral`` and the ``detector()`` parameters
+(radii, spiral step, PMT count) are intentionally identical to the
+reference demo (chroma/demo/__init__.py:25-65) — this module DEFINES the
+benchmark geometry, so any divergence here would invalidate the
+performance comparison against the reference baseline.  Everything the
+geometry feeds into (meshing, BVH, engine) is original.
 """
 from math import sin, cos, sqrt
 

@@ -254,7 +254,7 @@ def opticalsurface(elem):
     return None
 
 
-def notImplemented(elem):
+def unsupported(elem):
     raise NotImplementedError(
         'GDML solid type %r is not supported without gmsh' % elem.tag)
 

@@ -24,13 +24,30 @@ import numpy as np
 import xml.etree.ElementTree as et
 
 from chroma_tpu.rat import gdml
-from chroma_tpu.geometry import Mesh, Solid, vacuum
+from chroma_tpu.geometry import Mesh, Solid, vacuum, _unique_objects
 from chroma_tpu.detector import Detector
 from chroma_tpu.transform import make_rotation_matrix
 from chroma_tpu.log import logger
 
 DEFAULT_SOLID_COLOR = 0xEEA0A0A0
 DEFAULT_PMT_COLOR = 0xA0A05000
+
+# meshers for the GDML primitive solids (chroma_tpu/rat/gdml.py);
+# boolean solids are dispatched separately onto the BSP CSG engine
+_SOLID_MESHERS = {
+    name: getattr(gdml, name)
+    for name in ('box', 'eltube', 'ellipsoid', 'orb', 'polycone',
+                 'polyhedra', 'sphere', 'torus', 'tube', 'torusstack')
+}
+_BOOLEAN_TAGS = ('union', 'subtraction', 'intersection')
+
+
+def _euler_xyz(angles):
+    """GDML rotation (x, y, z Euler angles) -> 3x3 matrix."""
+    rx = make_rotation_matrix(angles[0], [1, 0, 0])
+    ry = make_rotation_matrix(angles[1], [0, 1, 0])
+    rz = make_rotation_matrix(angles[2], [0, 0, 1])
+    return rx @ ry @ rz
 
 
 def _default_volume_classifier(volume_ref, material_ref,
@@ -39,65 +56,93 @@ def _default_volume_classifier(volume_ref, material_ref,
     if 'OpDetSensitive' in volume_ref:
         return 'pmt', dict(color=DEFAULT_PMT_COLOR, surface=None,
                            channel_type=0)
-    elif material_ref == parent_material_ref:
-        return 'omit', dict()
-    else:
-        return 'solid', dict(color=DEFAULT_SOLID_COLOR, surface=None)
+    if material_ref == parent_material_ref:
+        return 'omit', {}
+    return 'solid', dict(color=DEFAULT_SOLID_COLOR, surface=None)
 
 
 class Volume:
-    """A GDML logical volume placement with absolute transform."""
+    """One placed GDML logical volume, with its absolute transform.
 
-    def __init__(self, name, loader, phys_vol_name='/BUILDROOT',
+    Instances form a tree rooted at the world volume; ``placement`` is
+    the /-joined chain of physvol names from the root (the key RAT
+    border surfaces are declared against).
+    """
+
+    __slots__ = ('name', 'placement', 'material_ref',
+                 'parent_material_ref', 'solid_ref', 'absolute_pos',
+                 'absolute_rot', 'children', 'mesh', 'pmt_type',
+                 'pmt_channel')
+
+    def __init__(self, name, volume_xml, placement='/BUILDROOT',
                  parent_material_ref=None, absolute_pos=None,
                  absolute_rot=None):
-        self.placementName = phys_vol_name
         self.name = name
-        elem = loader.vol_xml_map[name]
-        self.material_ref = elem.find('materialref').get('ref')
+        self.placement = placement
+        self.material_ref = volume_xml.find('materialref').get('ref')
+        self.solid_ref = volume_xml.find('solidref').get('ref')
         self.parent_material_ref = parent_material_ref
-        self.solid_ref = elem.find('solidref').get('ref')
+        self.absolute_pos = (np.zeros(3) if absolute_pos is None
+                             else np.asarray(absolute_pos, dtype=float))
+        self.absolute_rot = (np.identity(3) if absolute_rot is None
+                             else np.asarray(absolute_rot, dtype=float))
+        self.children = []
         self.mesh = None
         self.pmt_type = None
         self.pmt_channel = None
-        self.absolute_pos = np.zeros(3) if absolute_pos is None \
-            else np.asarray(absolute_pos, dtype=float)
-        self.absolute_rot = np.identity(3) if absolute_rot is None \
-            else np.asarray(absolute_rot, dtype=float)
 
-        self.children = []
-        for placement in elem.findall('physvol'):
-            c_pos, c_rot = loader.get_pos_rot(placement)
-            c_pos = gdml.get_vals(c_pos) if c_pos is not None \
-                else np.zeros(3)
-            angles = gdml.get_vals(c_rot) if c_rot is not None \
-                else np.zeros(3)
-            c_pos = (self.absolute_rot @ c_pos) + self.absolute_pos
-            x_rot = make_rotation_matrix(angles[0], [1, 0, 0])
-            y_rot = make_rotation_matrix(angles[1], [0, 1, 0])
-            z_rot = make_rotation_matrix(angles[2], [0, 0, 1])
-            c_rot = self.absolute_rot @ x_rot @ y_rot @ z_rot
-            self.children.append(Volume(
-                placement.find('volumeref').get('ref'), loader,
-                self.placementName + '/' + str(placement.get('name')),
-                parent_material_ref=self.material_ref,
-                absolute_pos=c_pos, absolute_rot=c_rot))
+    # backwards-compatible aliases for the reference API names
+    @property
+    def placementName(self):                               # noqa: N802
+        return self.placement
 
-    def show_hierarchy(self, indent=''):
-        print(indent + str(self), self.solid_ref, self.material_ref)
-        for child in self.children:
-            child.show_hierarchy(indent=indent + ' ')
+    def walk(self):
+        """Yield this volume and every descendant (preorder)."""
+        stack = [self]
+        while stack:
+            volume = stack.pop()
+            yield volume
+            stack.extend(volume.children)
 
     def flat_view(self):
-        placement_map = {self.placementName: self}
-        for volume in self.children:
-            placement_map.update(volume.flat_view())
-        return placement_map
+        """{placement path: Volume} over the whole subtree."""
+        return {v.placement: v for v in self.walk()}
+
+    def show_hierarchy(self, indent=''):
+        print(indent + self.name, self.solid_ref, self.material_ref)
+        for child in self.children:
+            child.show_hierarchy(indent=indent + ' ')
 
     def __str__(self):
         return self.name
 
     __repr__ = __str__
+
+
+def _build_volume_tree(loader, world_ref):
+    """Instantiate the Volume tree from the GDML structure section,
+    resolving each physvol's transform to absolute coordinates."""
+    root = Volume(world_ref, loader.vol_xml_map[world_ref])
+    todo = deque([root])
+    while todo:
+        parent = todo.popleft()
+        for pv in loader.vol_xml_map[parent.name].findall('physvol'):
+            pos_xml, rot_xml = loader.get_pos_rot(pv)
+            local_pos = (gdml.get_vals(pos_xml)
+                         if pos_xml is not None else np.zeros(3))
+            local_rot = (_euler_xyz(gdml.get_vals(rot_xml))
+                         if rot_xml is not None else np.identity(3))
+            child = Volume(
+                pv.find('volumeref').get('ref'),
+                loader.vol_xml_map[pv.find('volumeref').get('ref')],
+                placement='%s/%s' % (parent.placement, pv.get('name')),
+                parent_material_ref=parent.material_ref,
+                absolute_pos=(parent.absolute_rot @ local_pos
+                              + parent.absolute_pos),
+                absolute_rot=parent.absolute_rot @ local_rot)
+            parent.children.append(child)
+            todo.append(child)
+    return root
 
 
 class RATGeoLoader:
@@ -118,113 +163,136 @@ class RATGeoLoader:
 
         self.refinement_order = refinement_order
         self.gdml_file = gdml_file
-        gdml_tree = et.parse(gdml_file).getroot()
+        root_xml = et.parse(gdml_file).getroot()
+        self._parse_defines(root_xml.find('define'))
+        self._parse_materials(root_xml.find('materials'))
+        self._parse_solids(root_xml.find('solids'))
+        self._parse_structure(root_xml.find('structure'))
 
-        define = gdml_tree.find('define')
-        self.pos_map = {p.get('name'): p for p in
-                        define.findall('position')}
-        self.rot_map = {r.get('name'): r for r in
-                        define.findall('rotation')}
-        self.matrix_map = {m.get('name'): m for m in
-                           define.findall('matrix')}
-        self.vertex_positions = {
-            v.get('name'): gdml.get_vals(v, unit_attr='unit')
-            for v in define.findall('position')}
-
-        self.materials_used = []
-        self.material_lookup = {}
-        for material_xml in gdml_tree.find('materials'):
-            if material_xml.tag != 'material':
-                continue
-            self.materials_used.append(
-                gdml.create_material(self.matrix_map, material_xml))
-            self.material_lookup[material_xml.get('name')] = \
-                len(self.materials_used) - 1
-
-        solids = gdml_tree.find('solids')
-        self.solid_xml_map = {s.get('name'): s for s in solids}
-        self.surfaces_used = [None]
-        self.surface_lookup = {None: None}
-        for surface_xml in solids.findall('opticalsurface'):
-            surface = gdml.create_surface(self.matrix_map, surface_xml)
-            self.surfaces_used.append(surface)
-            self.surface_lookup[surface_xml.get('name')] = surface
-
-        structure = gdml_tree.find('structure')
-        volumes = structure.findall('volume')
-        self.vol_xml_map = {v.get('name'): v for v in volumes}
-
-        # skin surfaces: surface applied to all faces of a volume
-        self.skin_surface_map = {}
-        for skin in structure.findall('skinsurface'):
-            vol_ref = skin.find('volumeref').get('ref')
-            self.skin_surface_map[vol_ref] = \
-                self.surface_lookup.get(skin.get('surfaceproperty'))
-
-        # border surfaces: surface applied to photons crossing between a
-        # specific pair of physical volumes (reference:
-        # chroma/rat/loader.py:537 border_surfaces matching)
-        self.border_surfaces = []
-        for border in structure.findall('bordersurface'):
-            pv_refs = [pv.get('ref')
-                       for pv in border.findall('physvolref')]
-            surface = self.surface_lookup.get(
-                border.get('surfaceproperty'))
-            if len(pv_refs) == 2 and surface is not None:
-                self.border_surfaces.append(
-                    {'placement_names': frozenset(pv_refs),
-                     'surface': surface})
-
-        world_ref = gdml_tree.find('setup').find('world').get('ref')
+        world_ref = root_xml.find('setup').find('world').get('ref')
         if override_worldref is not None:
             world_ref = override_worldref
-        self.world = Volume(world_ref, self)
+        self.world = _build_volume_tree(self, world_ref)
         self.placement_to_volume_map = self.world.flat_view()
         self.outside_material_ref = outside_material_ref
-        self.solidsToIgnore = lambda _: False
+        self._ignore_solid = lambda _: False
 
-    # ------------------------------------------------------------------
+    # ---- GDML section parsers ----------------------------------------
+
+    def _parse_defines(self, define_xml):
+        self.pos_map = {e.get('name'): e
+                        for e in define_xml.findall('position')}
+        self.rot_map = {e.get('name'): e
+                        for e in define_xml.findall('rotation')}
+        self.matrix_map = {e.get('name'): e
+                           for e in define_xml.findall('matrix')}
+        self.vertex_positions = {
+            e.get('name'): gdml.get_vals(e, unit_attr='unit')
+            for e in define_xml.findall('position')}
+
+    def _parse_materials(self, materials_xml):
+        self.materials_used = []
+        self.material_lookup = {}
+        for mat_xml in materials_xml:
+            if mat_xml.tag != 'material':
+                continue
+            self.material_lookup[mat_xml.get('name')] = \
+                len(self.materials_used)
+            self.materials_used.append(
+                gdml.create_material(self.matrix_map, mat_xml))
+
+    def _parse_solids(self, solids_xml):
+        self.solid_xml_map = {e.get('name'): e for e in solids_xml}
+        self.surfaces_used = [None]
+        self.surface_lookup = {None: None}
+        for surf_xml in solids_xml.findall('opticalsurface'):
+            surface = gdml.create_surface(self.matrix_map, surf_xml)
+            self.surfaces_used.append(surface)
+            self.surface_lookup[surf_xml.get('name')] = surface
+
+    def _parse_structure(self, structure_xml):
+        self.vol_xml_map = {e.get('name'): e
+                            for e in structure_xml.findall('volume')}
+        # skin surfaces: apply to every face of the named volume
+        self.skin_surface_map = {
+            e.find('volumeref').get('ref'):
+                self.surface_lookup.get(e.get('surfaceproperty'))
+            for e in structure_xml.findall('skinsurface')}
+        # border surfaces: apply to photons crossing between a specific
+        # pair of physical volumes (reference: chroma/rat/loader.py:537)
+        self.border_surfaces = []
+        for e in structure_xml.findall('bordersurface'):
+            pair = [pv.get('ref') for pv in e.findall('physvolref')]
+            surface = self.surface_lookup.get(e.get('surfaceproperty'))
+            if len(pair) == 2 and surface is not None:
+                self.border_surfaces.append(
+                    (frozenset(pair), surface))
+
+    # ---- loader plumbing ----------------------------------------------
 
     def add_ratdb(self, ratdb_file):
         from chroma_tpu.rat.ratdb_parser import RatDBParser
         self.ratdb_parser = RatDBParser(ratdb_file)
 
     def get_pos_rot(self, elem, refs=('position', 'rotation')):
-        pos_ref, rot_ref = refs
-        pos = elem.find(pos_ref)
-        if pos is None:
-            pos = elem.find(pos_ref + 'ref')
-            if pos is not None:
-                pos = self.pos_map[pos.get('ref')]
-        rot = elem.find(rot_ref)
-        if rot is None:
-            rot = elem.find(rot_ref + 'ref')
-            if rot is not None:
-                rot = self.rot_map[rot.get('ref')]
-        return pos, rot
+        """Inline or referenced <position>/<rotation> of an element."""
+        found = []
+        for tag, table in zip(refs, (self.pos_map, self.rot_map)):
+            node = elem.find(tag)
+            if node is None:
+                ref = elem.find(tag + 'ref')
+                node = table[ref.get('ref')] if ref is not None else None
+            found.append(node)
+        return tuple(found)
+
+    def _border_surface_for(self, pv_a, pv_b):
+        """Border surface declared between two physical volume names."""
+        want = frozenset((pv_a, pv_b))
+        for pair, surface in self.border_surfaces:
+            if pair == want:
+                return surface
+        return None
+
+    @staticmethod
+    def _pv_name(placement):
+        return placement.rsplit('/', 1)[-1]
+
+    # ---- solid meshing --------------------------------------------------
+
+    def build_mesh(self, solid_ref):
+        """Mesh for the named solid (primitives native; boolean solids
+        via chroma_tpu.csg)."""
+        if self._ignore_solid(solid_ref):
+            logger.info('Ignoring solid: %s', solid_ref)
+            return None
+        elem = self.solid_xml_map[solid_ref]
+        tag = elem.tag
+        if tag in _BOOLEAN_TAGS:
+            return self._boolean_mesh(elem, tag)
+        if tag == 'tessellated':
+            return gdml.tessellated(elem, self.vertex_positions)
+        if tag == 'opticalsurface':
+            return None
+        mesher = _SOLID_MESHERS.get(tag)
+        if mesher is None:
+            return gdml.unsupported(elem)
+        return mesher(elem)
 
     def _boolean_mesh(self, elem, op):
         """Boolean solid via native BSP CSG (chroma_tpu/csg.py; the
         reference routes these through gmsh/OCC — rat/gen_mesh.py:56).
         The GDML transform applies to the second solid."""
         from chroma_tpu import csg
-        from chroma_tpu.geometry import Mesh
 
-        first = self.build_mesh(elem.find('first').get('ref'))
-        second = self.build_mesh(elem.find('second').get('ref'))
-        if first is None or second is None:
-            return first if second is None else second
-
-        def placed(mesh, pos, rot):
+        def placed(mesh, pos_xml, rot_xml):
+            if mesh is None:
+                return None
             verts = mesh.vertices
-            if rot is not None:
-                angles = gdml.get_vals(rot)
-                x_rot = make_rotation_matrix(angles[0], [1, 0, 0])
-                y_rot = make_rotation_matrix(angles[1], [0, 1, 0])
-                z_rot = make_rotation_matrix(angles[2], [0, 0, 1])
-                verts = np.inner(verts, x_rot @ y_rot @ z_rot)
-            if pos is not None:
-                verts = verts + np.asarray(gdml.get_vals(pos),
+            if rot_xml is not None:
+                verts = np.inner(verts,
+                                 _euler_xyz(gdml.get_vals(rot_xml)))
+            if pos_xml is not None:
+                verts = verts + np.asarray(gdml.get_vals(pos_xml),
                                            dtype=float)
             if verts is mesh.vertices:
                 return mesh
@@ -232,52 +300,16 @@ class RATGeoLoader:
                         remove_duplicate_vertices=False,
                         remove_null_triangles=False)
 
-        fpos, frot = self.get_pos_rot(
-            elem, refs=('firstposition', 'firstrotation'))
-        first = placed(first, fpos, frot)
-        pos, rot = self.get_pos_rot(elem)
-        second = placed(second, pos, rot)
+        first = placed(self.build_mesh(elem.find('first').get('ref')),
+                       *self.get_pos_rot(
+                           elem, refs=('firstposition', 'firstrotation')))
+        second = placed(self.build_mesh(elem.find('second').get('ref')),
+                        *self.get_pos_rot(elem))
+        if first is None or second is None:
+            return first if second is None else second
         return csg.boolean(op, first, second)
 
-    def build_mesh(self, solid_ref):
-        """Mesh for the named solid (primitives native; boolean solids
-        via chroma_tpu.csg)."""
-        if self.solidsToIgnore(solid_ref):
-            logger.info('Ignoring solid: %s', solid_ref)
-            return None
-        elem = self.solid_xml_map[solid_ref]
-        mesh_type = elem.tag
-        if mesh_type in ('union', 'subtraction', 'intersection'):
-            return self._boolean_mesh(elem, mesh_type)
-        dispatcher = {
-            'box': gdml.box,
-            'eltube': gdml.eltube,
-            'ellipsoid': gdml.ellipsoid,
-            'orb': gdml.orb,
-            'polycone': gdml.polycone,
-            'polyhedra': gdml.polyhedra,
-            'sphere': gdml.sphere,
-            'torus': gdml.torus,
-            'tube': gdml.tube,
-            'tessellated': lambda el: gdml.tessellated(
-                el, self.vertex_positions),
-            'torusstack': gdml.torusstack,
-            'opticalsurface': gdml.ignore,
-        }
-        generator = dispatcher.get(mesh_type, gdml.notImplemented)
-        return generator(elem)
-
-    def _border_surface_for(self, pv_a, pv_b):
-        """Border surface declared between two physical volume names."""
-        pair = frozenset((pv_a, pv_b))
-        for border in self.border_surfaces:
-            if border['placement_names'] == pair:
-                return border['surface']
-        return None
-
-    @staticmethod
-    def _pv_name(placement):
-        return placement.rsplit('/', 1)[-1]
+    # ---- detector assembly ----------------------------------------------
 
     def build_detector(self, detector=None,
                        volume_classifier=_default_volume_classifier,
@@ -295,56 +327,12 @@ class RATGeoLoader:
         if detector is None:
             detector = Detector(vacuum)
         if solids_to_ignore is not None:
-            self.solidsToIgnore = solids_to_ignore
+            self._ignore_solid = solids_to_ignore
 
-        records = []
-        q = deque([self.world])
-        while q:
-            volume = q.pop()
-            q.extend(volume.children)
-            classification, kwargs = volume_classifier(
-                volume.name, volume.material_ref,
-                volume.parent_material_ref)
-            if classification == 'omit':
-                continue
-            mesh = self.build_mesh(volume.solid_ref)
-            if mesh is None:
-                continue
-            mesh.vertices = np.inner(mesh.vertices,
-                                     volume.absolute_rot) \
-                + volume.absolute_pos
-            volume.mesh = mesh
-
-            inner = self.materials_used[
-                self.material_lookup[volume.material_ref]]
-            outer_ref = volume.parent_material_ref
-            if outer_ref is None:
-                outer_ref = self.outside_material_ref \
-                    or volume.material_ref
-            outer = self.materials_used[self.material_lookup[outer_ref]]
-
-            surface = kwargs.pop('surface', None)
-            if surface is None:
-                surface = self.skin_surface_map.get(volume.name)
-            if surface is None and '/' in volume.placementName[1:]:
-                # whole child/parent interface border surface
-                parent_placement = volume.placementName.rsplit('/', 1)[0]
-                surface = self._border_surface_for(
-                    self._pv_name(volume.placementName),
-                    self._pv_name(parent_placement))
-            color = kwargs.pop('color', DEFAULT_SOLID_COLOR)
-            channel_type = kwargs.pop('channel_type', None)
-            kwargs.pop('material1', None)
-            kwargs.pop('material2', None)
-
-            solid = Solid(mesh, inner, outer, surface=surface,
-                          color=color)
-            if classification == 'pmt' and volume.pmt_channel is not None:
-                channel_type = volume.pmt_type
-            records.append({'volume': volume, 'solid': solid,
-                            'classification': classification,
-                            'channel_type': channel_type})
-
+        records = [rec for rec in
+                   (self._solid_record(v, volume_classifier)
+                    for v in self.world.walk())
+                   if rec is not None]
         if conformal and len(records) > 1:
             self._conform(records)
 
@@ -359,6 +347,49 @@ class RATGeoLoader:
                 raise Exception('Unknown volume classification: %r'
                                 % rec['classification'])
         return detector
+
+    def _solid_record(self, volume, volume_classifier):
+        """Classify + mesh one volume; None if omitted/unmeshable."""
+        classification, kwargs = volume_classifier(
+            volume.name, volume.material_ref,
+            volume.parent_material_ref)
+        if classification == 'omit':
+            return None
+        mesh = self.build_mesh(volume.solid_ref)
+        if mesh is None:
+            return None
+        mesh.vertices = (np.inner(mesh.vertices, volume.absolute_rot)
+                         + volume.absolute_pos)
+        volume.mesh = mesh
+
+        inner = self.materials_used[
+            self.material_lookup[volume.material_ref]]
+        outer_ref = (volume.parent_material_ref
+                     or self.outside_material_ref
+                     or volume.material_ref)
+        outer = self.materials_used[self.material_lookup[outer_ref]]
+
+        surface = kwargs.pop('surface', None)
+        if surface is None:
+            surface = self.skin_surface_map.get(volume.name)
+        if surface is None and '/' in volume.placement[1:]:
+            # whole child/parent interface border surface
+            parent_placement = volume.placement.rsplit('/', 1)[0]
+            surface = self._border_surface_for(
+                self._pv_name(volume.placement),
+                self._pv_name(parent_placement))
+        color = kwargs.pop('color', DEFAULT_SOLID_COLOR)
+        channel_type = kwargs.pop('channel_type', None)
+        kwargs.pop('material1', None)
+        kwargs.pop('material2', None)
+        if classification == 'pmt' and volume.pmt_channel is not None:
+            channel_type = volume.pmt_type
+
+        return dict(volume=volume,
+                    solid=Solid(mesh, inner, outer, surface=surface,
+                                color=color),
+                    classification=classification,
+                    channel_type=channel_type)
 
     def _conform(self, records):
         """Deduplicate coincident triangles between touching volumes.
@@ -404,7 +435,7 @@ class RATGeoLoader:
             if len({ri for ri, _ in entries}) < 2:
                 continue  # duplicate within one solid: leave alone
             n_shared += 1
-            depth = [records[ri]['volume'].placementName.count('/')
+            depth = [records[ri]['volume'].placement.count('/')
                      for ri, _ in entries]
             order = np.argsort(depth)[::-1]
             keep_ri, keep_ti = entries[order[0]]
@@ -414,14 +445,14 @@ class RATGeoLoader:
                 records[far_ri]['solid'].outer_material[far_ti]
             surface = None
             keep_pv = self._pv_name(
-                records[keep_ri]['volume'].placementName)
+                records[keep_ri]['volume'].placement)
             for oi in order[1:]:
                 ri, ti = entries[oi]
                 drop[ri][ti] = True
                 if surface is None:
                     surface = self._border_surface_for(
                         keep_pv, self._pv_name(
-                            records[ri]['volume'].placementName))
+                            records[ri]['volume'].placement))
             if surface is None and keep_solid.surface[keep_ti] is not None:
                 surface = keep_solid.surface[keep_ti]
             if surface is None:
@@ -448,7 +479,6 @@ class RATGeoLoader:
             for field in ('inner_material', 'outer_material',
                           'surface', 'color'):
                 setattr(solid, field, getattr(solid, field)[keep])
-        from chroma_tpu.geometry import _unique_objects
         for rec in records:
             solid = rec['solid']
             solid.unique_materials = _unique_objects(
@@ -471,7 +501,7 @@ class RATGeoLoader:
         self.nPMTs = 0
         self.pmt_index_to_type = []
         self.pmt_index_to_position = []
-        for placement, volume in self.placement_to_volume_map.items():
+        for volume in self.world.walk():
             for ai, vol_name in enumerate(pmt_volume_names):
                 if not volume.name.startswith(vol_name):
                     continue

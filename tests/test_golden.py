@@ -35,6 +35,7 @@ def chi2_ndf(a, b):
     return chi2 / max(use.sum(), 1)
 
 
+@pytest.mark.slow
 def test_golden_hit_pdfs(golden):
     from tools.make_golden import simulate_histograms
     fresh = simulate_histograms(seed=int(golden['seed']) + 999)

@@ -1,5 +1,6 @@
 """Multi-chip sharding tests on the virtual 8-device CPU mesh."""
 import numpy as np
+import pytest
 
 import tests.conftest  # noqa: F401
 import jax
@@ -7,11 +8,13 @@ import jax
 from chroma_tpu import event
 
 
+@pytest.mark.slow
 def test_dryrun_multichip():
     import __graft_entry__ as g
     g.dryrun_multichip(8)
 
 
+@pytest.mark.slow
 def test_sharded_matches_statistics():
     """Sharded propagation terminates photons with sane statistics and
     keeps the batch sharded."""
@@ -31,6 +34,7 @@ def test_sharded_matches_statistics():
     assert detected.sum() > 0
 
 
+@pytest.mark.slow
 def test_simulation_on_mesh_matches_single_device():
     """Simulation over an 8-device mesh yields statistically identical
     hit distributions to the single-device path (VERDICT round-1 #3)."""
@@ -80,6 +84,7 @@ def test_simulation_on_mesh_matches_single_device():
     assert len(ev_m.photons_end) == n
 
 
+@pytest.mark.slow
 def test_eval_pdf_on_mesh():
     """eval_pdf (use_weights + scatter_first through the fused driver)
     exercised on the 8-device mesh — the per-lane scatter_first

@@ -53,6 +53,7 @@ def water_box():
     return pack_geometry(geo)
 
 
+@pytest.mark.slow
 def test_abort(vacuum_box):
     """Normal-incidence photons must never NaN-abort (reference:
     test_propagation.py testAbort)."""
@@ -99,6 +100,7 @@ def scatter_box():
     return pack_geometry(geo)
 
 
+@pytest.mark.slow
 def test_rayleigh_angular_distribution(scatter_box):
     """Polarized Rayleigh scattering follows (1+cos^2) (reference:
     test_rayleigh.py, GEANT4 physics reference manual)."""
@@ -119,6 +121,7 @@ def test_rayleigh_angular_distribution(scatter_box):
     assert chi2 < 45.0, chi2
 
 
+@pytest.mark.slow
 def test_bulk_reemission_spectrum():
     """Wavelength-shifted photons follow the reemission CDF (reference:
     test_reemission.py testBulkReemission)."""
@@ -164,6 +167,7 @@ def test_bulk_reemission_spectrum():
     assert ks.pvalue > 1e-3, ks
 
 
+@pytest.mark.slow
 def test_fresnel_normal_incidence():
     """Reflectance at normal incidence = ((n1-n2)/(n1+n2))^2 = 4%
     for n2=1.5 (photon.h:310)."""
@@ -188,6 +192,7 @@ def test_fresnel_normal_incidence():
     assert abs(frac - expect) < 0.01, (frac, expect)
 
 
+@pytest.mark.slow
 def test_default_surface_outcomes():
     """DEFAULT surface model outcome fractions (photon.h:684)."""
     surf = Surface('mixed')
@@ -234,6 +239,7 @@ def test_diffuse_reflection_cosine():
     assert abs(cosr.mean() - 2.0 / 3.0) < 0.01
 
 
+@pytest.mark.slow
 def test_photon_order_preserved(water_box):
     """photons_end[i] must correspond to photons_beg[i] despite the
     compaction sorts (regression: the Morton sort permuted the batch)."""
@@ -263,6 +269,7 @@ def test_nan_photons_abort(vacuum_box):
     assert not ((p.flags[1:] & event.NAN_ABORT) > 0).any()
 
 
+@pytest.mark.slow
 def test_fused_matches_compacting_statistically(water_box):
     """The fused megakernel driver (ops/fused.py) and the host-driven
     compacting driver must sample identical physics: compare terminal
@@ -432,6 +439,7 @@ def test_fused_dynamic_service(water_box):
     assert abs(ps.t.mean() - pd.t.mean()) < 0.1 * ps.t.std() + 1e-3
 
 
+@pytest.mark.slow
 def test_fused_chains_uneven_segments(water_box, monkeypatch):
     """Multi-chain fused driver with a photon count NOT divisible by
     the chain count: pool segments differ by one, drain compaction

@@ -84,6 +84,7 @@ def wls_box():
     return boxed(surf)
 
 
+@pytest.mark.slow
 def test_wls_outcome_fractions(wls_box):
     """One-step outcome fractions on a WLS plane at normal incidence:
     absorb -> reemit split by reemit(wl), reflect split spec/diffuse in
