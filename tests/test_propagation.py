@@ -483,3 +483,89 @@ def test_fused_chains_uneven_segments(water_box, monkeypatch):
         r3 = ((p3.flags & flag) != 0).mean()
         sigma = np.sqrt(max(r1 * (1 - r1), 1e-6) / n) * 2
         assert abs(r1 - r3) < 4 * sigma + 0.02, (flag, r1, r3)
+
+
+@pytest.fixture(scope='module')
+def murky_counter_box():
+    """Scattering + absorbing medium with a pure counter wall
+    (detect + absorb = 1, no reflection) — the configuration where the
+    reference's weighted surface estimator (photon.h:672-733, forced
+    detection with weight *= detect) is exactly unbiased, so weighted
+    and unweighted detection estimates must agree."""
+    med = Material('murky')
+    med.set('refractive_index', 1.33)
+    med.set('absorption_length', 150.0)
+    med.set('scattering_length', 100.0)
+    counter = Surface('counter')
+    counter.set('detect', 0.3)
+    counter.set('absorb', 0.7)
+    cube = Geometry(med)
+    cube.add_solid(Solid(make.box(100, 100, 100), med, med,
+                         surface=counter))
+    geo = create_geometry_from_obj(cube, update_bvh_cache=False)
+    return pack_geometry(geo)
+
+
+def _isotropic(n, seed):
+    rng = np.random.RandomState(seed)
+    dirs = rng.normal(size=(n, 3)).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=1)[:, None]
+    pol = np.cross(rng.normal(size=(n, 3)), dirs).astype(np.float32)
+    pol /= np.linalg.norm(pol, axis=1)[:, None]
+    return event.Photons(pos=np.zeros((n, 3), np.float32), dir=dirs,
+                         pol=pol,
+                         wavelengths=np.full(n, 400.0, np.float32))
+
+
+@pytest.mark.slow
+def test_weighted_matches_unweighted(murky_counter_box):
+    """Variance-reduced propagation (use_weights: bulk absorption
+    prevented, weight *= exp(-d/abs_len); surface detection forced,
+    weight *= detect — reference photon.h:205-232, 672-733) must give
+    the same expected detection count as brute-force MC."""
+    n = 30000
+    photons = _isotropic(n, 21)
+
+    p_mc = run(murky_counter_box, photons, key=100, max_steps=30)
+    det_mc = ((p_mc.flags & event.SURFACE_DETECT) != 0)
+    est_mc = det_mc.mean()
+    sig_mc = np.sqrt(est_mc * (1 - est_mc) / n)
+
+    p_w = run(murky_counter_box, photons, key=200, max_steps=30,
+              use_weights=True)
+    det_w = ((p_w.flags & event.SURFACE_DETECT) != 0)
+    est_w = float(np.sum(p_w.weights * det_w) / n)
+    # weighted detections carry fractional weights
+    assert det_w.sum() > det_mc.sum()
+    assert (p_w.weights[det_w] < 1.0).all()
+    sig_w = float(np.sqrt(np.var(p_w.weights * det_w) / n))
+    # the weighted estimator must be the lower-variance one
+    assert sig_w < sig_mc
+    assert abs(est_w - est_mc) < 4 * np.hypot(sig_mc, sig_w), \
+        (est_w, est_mc, sig_mc, sig_w)
+
+
+@pytest.mark.slow
+def test_scatter_first_strata_sum(murky_counter_box):
+    """The eval_pdf importance split (sim.py: scatter_first=-1 'direct'
+    stratum + scatter_first=+1 'scattered' stratum, both weighted —
+    reference chroma/sim.py:219, photon.h:205-232) partitions the path
+    space: the strata's weighted detection estimates must SUM to the
+    brute-force estimate."""
+    n = 30000
+    photons = _isotropic(n, 22)
+
+    p_mc = run(murky_counter_box, photons, key=300, max_steps=30)
+    est_mc = ((p_mc.flags & event.SURFACE_DETECT) != 0).mean()
+    sig_mc = np.sqrt(est_mc * (1 - est_mc) / n)
+
+    parts = {}
+    for sf in (-1, +1):
+        p_s = run(murky_counter_box, photons, key=400 + sf, max_steps=30,
+                  use_weights=True, scatter_first=sf)
+        det = ((p_s.flags & event.SURFACE_DETECT) != 0)
+        parts[sf] = float(np.sum(p_s.weights * det) / n)
+    # the direct stratum must dominate (scat_len ~ 2x box half-size)
+    assert parts[-1] > parts[+1] > 0.0
+    est_strat = parts[-1] + parts[+1]
+    assert abs(est_strat - est_mc) < 5 * sig_mc, (parts, est_mc, sig_mc)
