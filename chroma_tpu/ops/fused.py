@@ -63,7 +63,14 @@ def _use_pallas_default():
         return env != '0'
     return jax.default_backend() == 'tpu'
 
-SERVICE_EVERY = 10      # walker iterations between physics passes
+# Walker iterations between physics passes.  With the ondeck
+# drain-restart a drained lane no longer idles out the window (util
+# 0.59 -> ~0.75-0.90), so the window stretches until on-deck-slot
+# exhaustion: r4 sweep on the full demo peaks at se=17 (2.41M vs 2.17M
+# at the r3 se=10; tools/tune_ondeck.py + ARCHITECTURE.md).  Env knob:
+# the service window is UNROLLED in the jitted driver, so compile time
+# grows with it — the CPU test suite pins a smaller value (conftest).
+SERVICE_EVERY = int(os.environ.get('CHROMA_TPU_SERVICE_EVERY', 17))
 DEFAULT_WIDTH = 12288   # total lane width across chains: 3 chains of
                         # 4096 (r3, merged service pass) edge out 2 of
                         # 4096 at w=8192 — the third chain's gathers
@@ -85,27 +92,35 @@ _W_KEYS_OD = tuple('W_' + k for k in MP.OD_W_KEYS)
 
 
 def _pack(state):
-    """Photon SoA -> (n, 16) f32 rows (int fields bitcast), so pool
+    """Photon SoA -> (n, 16) u32 rows (float fields bitcast), so pool
     writeback + refill are ONE scatter + ONE gather instead of ten of
     each.  Word layout: pos[3] dir[3] pol[3] wavelength t weight
-    flags lht evidx index."""
-    f32 = lambda v: jax.lax.bitcast_convert_type(v, jnp.float32)
+    flags lht evidx index.
+
+    The rows are UNSIGNED INT, not float: flag words bitcast into f32
+    are denormals/NaNs, and XLA:TPU is free to flush or canonicalize
+    those inside fusions it builds around a float-typed value (seen in
+    practice: history flag bits zeroed at some lane widths but not
+    others).  Integer words are bit-exact under every select / gather /
+    scatter, so the floats ride as bit patterns instead."""
+    u32 = lambda v: jax.lax.bitcast_convert_type(v, jnp.uint32)
     return jnp.concatenate([
-        state['pos'], state['dir'], state['pol'],
-        state['wavelength'][:, None], state['t'][:, None],
-        state['weight'][:, None], f32(state['flags'])[:, None],
-        f32(state['last_hit_triangle'])[:, None],
-        f32(state['evidx'].astype(jnp.uint32))[:, None],
-        f32(state['index'].astype(jnp.uint32))[:, None]], axis=1)
+        u32(state['pos']), u32(state['dir']), u32(state['pol']),
+        u32(state['wavelength'])[:, None], u32(state['t'])[:, None],
+        u32(state['weight'])[:, None], state['flags'][:, None],
+        u32(state['last_hit_triangle'])[:, None],
+        state['evidx'].astype(jnp.uint32)[:, None],
+        state['index'].astype(jnp.uint32)[:, None]], axis=1)
 
 
 def _unpack(arr):
-    u32 = lambda v: jax.lax.bitcast_convert_type(v, jnp.uint32)
+    f32 = lambda v: jax.lax.bitcast_convert_type(v, jnp.float32)
     i32 = lambda v: jax.lax.bitcast_convert_type(v, jnp.int32)
-    return dict(pos=arr[:, 0:3], dir=arr[:, 3:6], pol=arr[:, 6:9],
-                wavelength=arr[:, 9], t=arr[:, 10], weight=arr[:, 11],
-                flags=u32(arr[:, 12]), last_hit_triangle=i32(arr[:, 13]),
-                evidx=u32(arr[:, 14]), index=u32(arr[:, 15]))
+    return dict(pos=f32(arr[:, 0:3]), dir=f32(arr[:, 3:6]),
+                pol=f32(arr[:, 6:9]), wavelength=f32(arr[:, 9]),
+                t=f32(arr[:, 10]), weight=f32(arr[:, 11]),
+                flags=arr[:, 12], last_hit_triangle=i32(arr[:, 13]),
+                evidx=arr[:, 14], index=arr[:, 15])
 
 
 def _reseed(lane, need, geom):
@@ -156,6 +171,220 @@ def _pallas_results(lane):
     return dict(triangle=r['triangle'], distance=r['distance'],
                 normal=r['normal'], material_code=r['material_code'],
                 incomplete=jnp.zeros(w, bool))
+
+
+def _service_ondeck_v2(lanes, pool, next_ptr, keys, geom, max_steps,
+                       scatter_first, use_weights, seg_lo, seg_sizes):
+    """Ondeck-mode service pass, chain-batched (round-4 EXPERIMENT —
+    measured LOSS, kept behind CHROMA_TPU_ONDECK_V2=1).
+
+    The round-3 per-chain service (``_service_ondeck``, the production
+    default) costs ~2.9 ms/pass of which ~2.15 ms is slot/pool
+    plumbing — per-op FIXED costs, not bytes
+    (tools/profile_service4.py ablations).  This version collapses the
+    op count, but end-to-end it LOSES on the full demo (2.02M vs
+    2.09M photons/s at the default w=12288 C=3 config): batching all
+    chains' slot logic behind jnp.stack/concat joins makes the service
+    a cross-chain sync point, defeating exactly the pipelining overlap
+    the chains exist for.  Verified bit-identical to v1 (same key) on
+    TPU before the comparison.
+
+      * lanes store the photon as ONE packed (w, 16) array (``packed``,
+        see _pack) instead of ten SoA keys — every slot move is one
+        ``where`` instead of ten;
+      * all chains' slot logic runs batched over a leading (C, w) chain
+        axis (chain widths are always equal by construction), with one
+        global photon pool and a (C,) ``next_ptr`` vector — retire is
+        ONE scatter for every chain and both photon sets;
+      * the traversal reseed (MP.seed) and on-deck seeding (MP.od_seed)
+        run ONCE over the lane-concatenated walker state.
+
+    Semantics and RNG consumption are identical to v1 (bit-equal
+    output for the same key).
+
+    Each lane has two photon slots: WALKING (live walker registers)
+    and ON-DECK (packed in ``odk_packed``).  The kernel's drain-restart
+    swap (mbvh_pallas._make_kernel ondeck) moves the on-deck photon
+    into the walking registers mid-window, parking the finished walk's
+    results — the lane's ``packed`` photon then lags one photon behind
+    until this pass reconciles:
+
+      parked bit set   -> ``packed`` = parked photon A (results in
+                          W_park); walking photon = odk_packed
+      parked bit clear -> ``packed`` = walking photon; on-deck photon
+                          (if any) unconsumed in odk_packed
+
+    After physics, a continuing parked photon or an unconsumed on-deck
+    photon (mutually exclusive — the swap consumes the on-deck slot
+    when it parks) becomes the new walking photon if that slot freed,
+    else goes (back) on deck; empty slots refill from the chain's pool
+    segment (walking slot first, then on-deck)."""
+    C = len(lanes)
+    w = lanes[0]['holding'].shape[0]   # chain widths are always equal
+    Cw = C * w
+    n_pool = pool.shape[0]
+    TERM = jnp.uint32(event.TERMINAL_FLAGS)
+    key0, sk = jax.random.split(keys[0])
+    keys = [key0] + list(keys[1:])
+    u = jax.random.uniform(sk, (2 * Cw, NDRAWS), dtype=jnp.float32)
+
+    def stk(k):
+        return jnp.stack([ln[k] for ln in lanes], axis=0)  # (C, w, ...)
+
+    packed = stk('packed')
+    odk_packed = stk('odk_packed')
+    step = stk('step')
+    odk_step = stk('odk_step')
+    odk_live = stk('odk_live')
+    holding = stk('holding')
+
+    # ---- walker results, lane-concatenated (chain-major) -------------
+    Wcat = {k: jnp.concatenate([ln['W_' + k] for ln in lanes], axis=1)
+            for k in ('uregs', 'hregs', 'park')}
+    pr = MP.park_results(Wcat)
+    parked = pr.pop('parked')                              # (Cw,)
+    rl = MP.results(Wcat)
+    rl.pop('incomplete')
+    act = Wcat['uregs'][MP.U_ACT] != 0
+    RES = {k: jnp.concatenate([pr[k], rl[k]], axis=0) for k in rl}
+    RES['incomplete'] = jnp.zeros(2 * Cw, bool)
+
+    # ---- one merged, fully predicated physics pass --------------------
+    flatP = packed.reshape(Cw, 16)
+    flatW = jnp.where(parked[:, None], odk_packed.reshape(Cw, 16), flatP)
+    BIG = _unpack(jnp.concatenate([flatP, flatW], axis=0))
+    stepP = step.reshape(Cw)
+    stepW = jnp.where(parked, odk_step.reshape(Cw), stepP)
+    step2 = jnp.concatenate([stepP, stepW])
+    holdf = holding.reshape(Cw)
+
+    aliveB = (BIG['flags'] & TERM) == 0
+    bad = jnp.isnan(jnp.sum(BIG['dir'], axis=1)
+                    + jnp.sum(BIG['pos'], axis=1))
+    ready = (jnp.concatenate([parked, holdf & ~act])
+             & aliveB & (step2 < max_steps))
+    nan_mask = ready & bad
+    flags = jnp.where(nan_mask,
+                      BIG['flags']
+                      | jnp.uint32(event.NO_HIT | event.NAN_ABORT),
+                      BIG['flags'])
+    active = ready & ~bad
+    sf = jnp.where(step2 == 0, scatter_first, 0)
+    new_state = physics_update(BIG, RES, geom, u, flags, active,
+                               nan_mask, sf, use_weights=use_weights)
+    BIG.update(new_state)
+    step2 = step2 + ready.astype(jnp.int32)
+    BIG2 = _pack(BIG)                                      # (2Cw, 16)
+
+    # ---- retire: ONE scatter for both sets, all chains ---------------
+    term2 = (BIG['flags'] & TERM) != 0
+    termA, termW = term2[:Cw], term2[Cw:]
+    stepA2, stepW2 = step2[:Cw], step2[Cw:]
+    doneL = holdf & ~act
+    finishedA = parked & (termA | (stepA2 >= max_steps))
+    finishedW = doneL & (termW | (stepW2 >= max_steps))
+    contA = parked & ~finishedA
+    contW = doneL & ~finishedW
+    out_idx = jnp.where(jnp.concatenate([finishedA, finishedW]),
+                        BIG['index'].astype(jnp.int32), n_pool)
+    pool = pool.at[out_idx].set(BIG2, mode='drop')
+
+    # ---- slot redistribution, (C, w)-batched --------------------------
+    packedA = BIG2[:Cw].reshape(C, w, 16)
+    packedW = BIG2[Cw:].reshape(C, w, 16)
+    parked2 = parked.reshape(C, w)
+    busy = act.reshape(C, w)
+    walk_stay = busy | contW.reshape(C, w)
+    walk_free = ~walk_stay
+    odk_unc = odk_live & ~parked2
+    haveX = contA.reshape(C, w) | odk_unc
+    Xpacked = jnp.where(parked2[..., None], packedA, odk_packed)
+    Xstep = jnp.where(parked2, stepA2.reshape(C, w), odk_step)
+    stepW3 = stepW2.reshape(C, w)
+
+    seg_lo_a = jnp.asarray(seg_lo[:C], jnp.int32)[:, None]
+    seg_n_a = jnp.asarray(seg_sizes[:C], jnp.int32)[:, None]
+
+    # walking slot: keep -> spare -> pool
+    fromX = walk_free & haveX
+    fill1 = walk_free & ~haveX
+    rank1 = jnp.cumsum(fill1.astype(jnp.int32), axis=1) - 1
+    grab1 = next_ptr[:, None] + rank1
+    have1 = fill1 & (grab1 < seg_n_a)
+    src1 = seg_lo_a + jnp.clip(grab1, 0, seg_n_a - 1)
+    next_ptr = next_ptr + jnp.sum(fill1.astype(jnp.int32), axis=1)
+    new_packed = jnp.where(
+        walk_stay[..., None], packedW,
+        jnp.where(fromX[..., None], Xpacked,
+                  jnp.where(have1[..., None], pool[src1], packedW)))
+    new_step = jnp.where(walk_stay, stepW3,
+                         jnp.where(fromX, Xstep, jnp.zeros_like(stepW3)))
+    holding_next = walk_stay | fromX | have1
+
+    # on-deck slot: unplaced spare -> pool
+    keepX = haveX & ~fromX
+    fill2 = holding_next & ~keepX
+    rank2 = jnp.cumsum(fill2.astype(jnp.int32), axis=1) - 1
+    grab2 = next_ptr[:, None] + rank2
+    have2 = fill2 & (grab2 < seg_n_a)
+    src2 = seg_lo_a + jnp.clip(grab2, 0, seg_n_a - 1)
+    next_ptr = next_ptr + jnp.sum(fill2.astype(jnp.int32), axis=1)
+    new_odk = jnp.where(keepX[..., None], Xpacked,
+                        jnp.where(have2[..., None], pool[src2],
+                                  odk_packed))
+    new_odk_step = jnp.where(keepX, Xstep, jnp.zeros_like(Xstep))
+    new_odk_live = keepX | have2
+
+    # ---- seed the on-deck slots, ONE call over all chains -------------
+    f32 = lambda v: jax.lax.bitcast_convert_type(v, jnp.float32)
+    of_flat = new_odk.reshape(Cw, 16)
+    of_pos, of_dir = f32(of_flat[:, 0:3]), f32(of_flat[:, 3:6])
+    of_flags = of_flat[:, 12]
+    of_lht = jax.lax.bitcast_convert_type(of_flat[:, 13], jnp.int32)
+    ook = (new_odk_live.reshape(Cw)
+           & ((of_flags & TERM) == 0)
+           & ~jnp.isnan(jnp.sum(of_dir, axis=1)
+                        + jnp.sum(of_pos, axis=1)))
+    od = MP.od_seed(geom, int(geom.mbvh_depth), of_pos.T, of_dir.T,
+                    of_lht, ook)
+
+    # ---- reseed fresh walks, ONE MP.seed over all chains --------------
+    np_flat = new_packed.reshape(Cw, 16)
+    n_pos, n_dir = f32(np_flat[:, 0:3]), f32(np_flat[:, 3:6])
+    alive3 = (np_flat[:, 12] & TERM) == 0
+    ok3 = ~jnp.isnan(jnp.sum(n_pos, axis=1) + jnp.sum(n_dir, axis=1))
+    needf = (holding_next.reshape(Cw) & ~act & alive3 & ok3
+             & (new_step.reshape(Cw) < max_steps))
+    n_lht = jax.lax.bitcast_convert_type(np_flat[:, 13], jnp.int32)
+    Wseed = MP.seed(geom, int(geom.mbvh_depth), n_pos.T, n_dir.T,
+                    n_lht, needf)
+    Wall = {k: jnp.concatenate([ln['W_' + k] for ln in lanes], axis=1)
+            for k in MP.W_KEYS}
+    # clear the kernel's parked bookkeeping bit
+    Wall['uregs'] = Wall['uregs'].at[MP.U_PAD].set(
+        jnp.zeros(Cw, jnp.uint32))
+    ndm = needf[None, :]
+    for k in MP.W_KEYS:
+        Wall[k] = jnp.where(ndm, Wseed[k], Wall[k])
+
+    # ---- split back per chain -----------------------------------------
+    out_lanes = []
+    for c in range(C):
+        ln = dict(lanes[c])
+        ln['packed'] = new_packed[c]
+        ln['step'] = new_step[c]
+        ln['holding'] = holding_next[c]
+        ln['odk_packed'] = new_odk[c]
+        ln['odk_step'] = new_odk_step[c]
+        ln['odk_live'] = new_odk_live[c]
+        for k in MP.W_KEYS:
+            ln['W_' + k] = jax.lax.slice_in_dim(Wall[k], c * w,
+                                                (c + 1) * w, axis=1)
+        for k, v in od.items():
+            ln['W_' + k] = jax.lax.slice_in_dim(v, c * w, (c + 1) * w,
+                                                axis=1)
+        out_lanes.append(ln)
+    return out_lanes, pool, next_ptr, keys
 
 
 def _service_ondeck(lanes, pools, next_ptrs, keys, geom, max_steps,
@@ -561,11 +790,14 @@ def _compact_lanes(lane, m):
             for k, v in lane.items()}
 
 
-def _make_lane(state, geom, lo, w, depth, pal=False, ondeck=False):
-    """Initial lane state for one chain: pool photons [lo, lo+w)."""
+def _make_lane(state, geom, lo, w, depth, pal=False, ondeck=False,
+               packed=None):
+    """Initial lane state for one chain: pool photons [lo, lo+w).
+    Ondeck lanes (``packed`` given) store the photon as one packed
+    (w, 16) array; other modes keep the SoA photon keys."""
     lane = {k: jax.lax.slice_in_dim(v, lo, lo + w) for k, v in
             state.items()}
-    lane.update(
+    lane_common = dict(
         holding=jnp.ones(w, bool),
         step=jnp.zeros(w, jnp.int32),
         iters=jnp.zeros((), jnp.int32),
@@ -578,16 +810,22 @@ def _make_lane(state, geom, lo, w, depth, pal=False, ondeck=False):
         W = MP.seed(geom, int(geom.mbvh_depth), lane['pos'].T,
                     lane['dir'].T, lane['last_hit_triangle'],
                     alive & ok)
+        if ondeck and packed is not None:
+            lane = dict(packed=jax.lax.slice_in_dim(packed, lo, lo + w),
+                        **lane_common)
+        else:
+            lane.update(lane_common)
         lane.update({'W_' + k: v for k, v in W.items()})
         if ondeck:
             # empty on-deck/park slots; the first service pass fills
             # them from the pool
             lane.update({'W_' + k: v
                          for k, v in MP.ondeck_empty(w).items()})
-            lane.update(odk_packed=jnp.zeros((w, 16), jnp.float32),
+            lane.update(odk_packed=jnp.zeros((w, 16), jnp.uint32),
                         odk_step=jnp.zeros(w, jnp.int32),
                         odk_live=jnp.zeros(w, bool))
         return lane
+    lane.update(lane_common)
     lane.update(
         masks=jnp.zeros((w, depth, NMASK_WORDS), jnp.uint32),
         bases=jnp.zeros((w, depth), jnp.uint32),
@@ -674,12 +912,24 @@ def propagate_fused(state, geom, key, max_steps=100, use_weights=False,
     seg_lo = np.concatenate([[0], np.cumsum(seg_sizes)]).astype(int)
     w_c = [min(w_total // nchains, seg_sizes[c]) for c in range(nchains)]
 
-    pools = [jax.lax.slice_in_dim(packed, seg_lo[c], seg_lo[c + 1])
-             for c in range(nchains)]
-    lanes = [_make_lane(state, geom, seg_lo[c], w_c[c], depth, pal=pal,
-                        ondeck=ondeck)
-             for c in range(nchains)]
-    next_ptrs = [jnp.asarray(w_c[c], jnp.int32) for c in range(nchains)]
+    # v2 = the chain-batched service experiment (measured loss; see
+    # _service_ondeck_v2) — opt in with CHROMA_TPU_ONDECK_V2=1
+    odk_v2 = ondeck and os.environ.get('CHROMA_TPU_ONDECK_V2') == '1'
+    if odk_v2:
+        # chain-batched service: ONE global pool, (C,) refill pointers
+        pools = [packed]
+        next_ptrs = [jnp.asarray(w_c, jnp.int32)]
+        lanes = [_make_lane(state, geom, seg_lo[c], w_c[c], depth,
+                            pal=pal, ondeck=True, packed=packed)
+                 for c in range(nchains)]
+    else:
+        pools = [jax.lax.slice_in_dim(packed, seg_lo[c], seg_lo[c + 1])
+                 for c in range(nchains)]
+        lanes = [_make_lane(state, geom, seg_lo[c], w_c[c], depth,
+                            pal=pal, ondeck=ondeck)
+                 for c in range(nchains)]
+        next_ptrs = [jnp.asarray(w_c[c], jnp.int32)
+                     for c in range(nchains)]
     keys = list(jax.random.split(key, nchains))
 
     # stats: [services, photon_steps, lane_iters, pending_lane_iters]
@@ -767,7 +1017,14 @@ def propagate_fused(state, geom, key, max_steps=100, use_weights=False,
                      ready,
                      jnp.sum(holding).astype(jnp.int32) * service_every,
                      jnp.asarray(0, jnp.int32)])
-            if ondeck:
+            if odk_v2:
+                lanes, pool, ptr, keys = _service_ondeck_v2(
+                    lanes, pools[0], next_ptrs[0], keys, geom,
+                    max_steps, scatter_first, use_weights,
+                    [int(x) for x in seg_lo[:len(lanes)]],
+                    [int(x) for x in seg_sizes[:len(lanes)]])
+                pools, next_ptrs = [pool], [ptr]
+            elif ondeck:
                 lanes, pools, next_ptrs, keys = _service_ondeck(
                     lanes, pools, next_ptrs, keys, geom, max_steps,
                     scatter_first, use_weights,
@@ -842,8 +1099,13 @@ def propagate_fused(state, geom, key, max_steps=100, use_weights=False,
                     more = active
                 else:
                     nhold = jnp.sum(lanes[c]['holding'].astype(jnp.int32))
-                    seg_n = pools[c].shape[0]
-                    more = active & ((next_ptrs[c] < seg_n)
+                    if odk_v2:
+                        seg_n = int(seg_sizes[c])
+                        ptr_c = next_ptrs[0][c]
+                    else:
+                        seg_n = pools[c].shape[0]
+                        ptr_c = next_ptrs[c]
+                    more = active & ((ptr_c < seg_n)
                                      | (nhold > targets[c]))
                 go = more if go is None else (go | more)
             return go

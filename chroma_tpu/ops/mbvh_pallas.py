@@ -64,6 +64,8 @@ from chroma_tpu.bvh.mbvh import (ROW_WIDTH, HDR_KIND, HDR_BASE, BOX_OFF,
 from chroma_tpu.ops.mbvh import tquant_scale
 
 DEFAULT_BLOCK = int(os.environ.get('CHROMA_TPU_PALLAS_BLOCK', 128))
+# profiling-only cost mock: see vcomp in _make_kernel
+_MOCK_F32V = os.environ.get('CHROMA_TPU_MOCK_F32V') == '1'
                         # lanes per kernel block
 
 # Mosaic only lowers on real TPUs; everywhere else (the CPU test
@@ -211,10 +213,16 @@ def _make_kernel(depth, instanced, do_prune=True, ondeck=False):
         qscale = _f32(row[QSCALE_OFF:QSCALE_OFF + 3, :])
 
         def vcomp(j):
-            # u32 -> f32 converts are unsupported in Mosaic: bitcast to
-            # i32 first (values are < 2^16, so the sign is safe)
             w = row[QVERT_OFF + j * QVERT_WORDS_PER_COMP:
                     QVERT_OFF + (j + 1) * QVERT_WORDS_PER_COMP, :]
+            if _MOCK_F32V:
+                # COST MOCK (wrong values): what vcomp would cost with
+                # f32 vertex rows — one bitcast, no unpack/convert/
+                # scale chain.  Profiling only (CHROMA_TPU_MOCK_F32V).
+                q = _f32(w)
+                return jnp.concatenate([q, q], axis=0)
+            # u32 -> f32 converts are unsupported in Mosaic: bitcast to
+            # i32 first (values are < 2^16, so the sign is safe)
             lo = _i32(w & jnp.uint32(0xFFFF)).astype(jnp.float32)
             hi = _i32(w >> jnp.uint32(16)).astype(jnp.float32)
             q = jnp.concatenate([lo, hi], axis=0)          # (BRANCH, B)

@@ -19,3 +19,9 @@ os.environ.setdefault('CHROMA_TPU_CACHE', '/tmp/chroma_tpu_test_cache')
 os.environ.setdefault('JAX_COMPILATION_CACHE_DIR',
                       '/tmp/chroma_tpu_jax_cache')
 os.environ.setdefault('JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS', '1')
+
+# The fused driver unrolls its service window (SERVICE_EVERY walker
+# iterations) inside one jitted while-loop body, so XLA:CPU compile
+# time grows with it.  It's a TPU throughput knob, not semantics —
+# pin the round-3 value for the tests so the tier stays fast.
+os.environ.setdefault('CHROMA_TPU_SERVICE_EVERY', '10')

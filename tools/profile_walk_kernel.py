@@ -72,7 +72,8 @@ def copy_iter(row_t, W, depth, block):
 
     sq_spec = pl.BlockSpec((1, 1), lambda i: (0, 0),
                            memory_space=pltpu.SMEM)
-    shapes = dict(rays=(12, n), tcodes=(D * BRANCH, n), bases=(D, n),
+    S = MP.nslots(D)
+    shapes = dict(rays=(12, n), tcodes=(S * BRANCH, n), bases=(S, n),
                   uregs=(8, n), hregs=(4, n), iregs=(MP.I_ROWS, n))
     dtypes = dict(rays=jnp.float32, tcodes=jnp.int16, bases=jnp.int32,
                   uregs=jnp.uint32, hregs=jnp.float32,
@@ -197,12 +198,15 @@ def main():
             return copy_iter(row_const, W, depth, block)
         return jax.lax.fori_loop(0, K, body, W)
 
+    only = os.environ.get('PROFILE_ONLY', '')
     for name, fn in (('full walk_iter', loop_full),
                      ('copy-through kernel', loop_copy),
                      ('slim copy (u+h only)', loop_slim),
                      ('gather only', loop_gather),
                      ('full, no gather', loop_full_norow),
                      ('copy, no gather', loop_copy_norow)):
+        if only and only not in name:
+            continue
         t = timeit(lambda fn=fn: fn(W0)['uregs'])
         per = t / K
         print(f'  {name:22s} {per*1e6:8.1f} us/iter '
