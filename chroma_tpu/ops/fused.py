@@ -89,6 +89,11 @@ _WALK_RESET = ('best_tri', 'min_dist', 'best_norm', 'best_mat')
 # pallas-walker state keys: transposed (rows, lanes) arrays
 _W_KEYS = tuple('W_' + k for k in MP.W_KEYS)
 _W_KEYS_OD = tuple('W_' + k for k in MP.OD_W_KEYS)
+_W_KEYS_OD2 = tuple('W_' + k for k in MP.OD2_W_KEYS)
+
+
+def _w_keys_od(od_slots):
+    return _W_KEYS_OD2 if od_slots == 2 else _W_KEYS_OD
 
 
 def _pack(state):
@@ -173,290 +178,117 @@ def _pallas_results(lane):
                 incomplete=jnp.zeros(w, bool))
 
 
-def _service_ondeck_v2(lanes, pool, next_ptr, keys, geom, max_steps,
-                       scatter_first, use_weights, seg_lo, seg_sizes):
-    """Ondeck-mode service pass, chain-batched (round-4 EXPERIMENT —
-    measured LOSS, kept behind CHROMA_TPU_ONDECK_V2=1).
-
-    The round-3 per-chain service (``_service_ondeck``, the production
-    default) costs ~2.9 ms/pass of which ~2.15 ms is slot/pool
-    plumbing — per-op FIXED costs, not bytes
-    (tools/profile_service4.py ablations).  This version collapses the
-    op count, but end-to-end it LOSES on the full demo (2.02M vs
-    2.09M photons/s at the default w=12288 C=3 config): batching all
-    chains' slot logic behind jnp.stack/concat joins makes the service
-    a cross-chain sync point, defeating exactly the pipelining overlap
-    the chains exist for.  Verified bit-identical to v1 (same key) on
-    TPU before the comparison.
-
-      * lanes store the photon as ONE packed (w, 16) array (``packed``,
-        see _pack) instead of ten SoA keys — every slot move is one
-        ``where`` instead of ten;
-      * all chains' slot logic runs batched over a leading (C, w) chain
-        axis (chain widths are always equal by construction), with one
-        global photon pool and a (C,) ``next_ptr`` vector — retire is
-        ONE scatter for every chain and both photon sets;
-      * the traversal reseed (MP.seed) and on-deck seeding (MP.od_seed)
-        run ONCE over the lane-concatenated walker state.
-
-    Semantics and RNG consumption are identical to v1 (bit-equal
-    output for the same key).
-
-    Each lane has two photon slots: WALKING (live walker registers)
-    and ON-DECK (packed in ``odk_packed``).  The kernel's drain-restart
-    swap (mbvh_pallas._make_kernel ondeck) moves the on-deck photon
-    into the walking registers mid-window, parking the finished walk's
-    results — the lane's ``packed`` photon then lags one photon behind
-    until this pass reconciles:
-
-      parked bit set   -> ``packed`` = parked photon A (results in
-                          W_park); walking photon = odk_packed
-      parked bit clear -> ``packed`` = walking photon; on-deck photon
-                          (if any) unconsumed in odk_packed
-
-    After physics, a continuing parked photon or an unconsumed on-deck
-    photon (mutually exclusive — the swap consumes the on-deck slot
-    when it parks) becomes the new walking photon if that slot freed,
-    else goes (back) on deck; empty slots refill from the chain's pool
-    segment (walking slot first, then on-deck)."""
-    C = len(lanes)
-    w = lanes[0]['holding'].shape[0]   # chain widths are always equal
-    Cw = C * w
-    n_pool = pool.shape[0]
-    TERM = jnp.uint32(event.TERMINAL_FLAGS)
-    key0, sk = jax.random.split(keys[0])
-    keys = [key0] + list(keys[1:])
-    u = jax.random.uniform(sk, (2 * Cw, NDRAWS), dtype=jnp.float32)
-
-    def stk(k):
-        return jnp.stack([ln[k] for ln in lanes], axis=0)  # (C, w, ...)
-
-    packed = stk('packed')
-    odk_packed = stk('odk_packed')
-    step = stk('step')
-    odk_step = stk('odk_step')
-    odk_live = stk('odk_live')
-    holding = stk('holding')
-
-    # ---- walker results, lane-concatenated (chain-major) -------------
-    Wcat = {k: jnp.concatenate([ln['W_' + k] for ln in lanes], axis=1)
-            for k in ('uregs', 'hregs', 'park')}
-    pr = MP.park_results(Wcat)
-    parked = pr.pop('parked')                              # (Cw,)
-    rl = MP.results(Wcat)
-    rl.pop('incomplete')
-    act = Wcat['uregs'][MP.U_ACT] != 0
-    RES = {k: jnp.concatenate([pr[k], rl[k]], axis=0) for k in rl}
-    RES['incomplete'] = jnp.zeros(2 * Cw, bool)
-
-    # ---- one merged, fully predicated physics pass --------------------
-    flatP = packed.reshape(Cw, 16)
-    flatW = jnp.where(parked[:, None], odk_packed.reshape(Cw, 16), flatP)
-    BIG = _unpack(jnp.concatenate([flatP, flatW], axis=0))
-    stepP = step.reshape(Cw)
-    stepW = jnp.where(parked, odk_step.reshape(Cw), stepP)
-    step2 = jnp.concatenate([stepP, stepW])
-    holdf = holding.reshape(Cw)
-
-    aliveB = (BIG['flags'] & TERM) == 0
-    bad = jnp.isnan(jnp.sum(BIG['dir'], axis=1)
-                    + jnp.sum(BIG['pos'], axis=1))
-    ready = (jnp.concatenate([parked, holdf & ~act])
-             & aliveB & (step2 < max_steps))
-    nan_mask = ready & bad
-    flags = jnp.where(nan_mask,
-                      BIG['flags']
-                      | jnp.uint32(event.NO_HIT | event.NAN_ABORT),
-                      BIG['flags'])
-    active = ready & ~bad
-    sf = jnp.where(step2 == 0, scatter_first, 0)
-    new_state = physics_update(BIG, RES, geom, u, flags, active,
-                               nan_mask, sf, use_weights=use_weights)
-    BIG.update(new_state)
-    step2 = step2 + ready.astype(jnp.int32)
-    BIG2 = _pack(BIG)                                      # (2Cw, 16)
-
-    # ---- retire: ONE scatter for both sets, all chains ---------------
-    term2 = (BIG['flags'] & TERM) != 0
-    termA, termW = term2[:Cw], term2[Cw:]
-    stepA2, stepW2 = step2[:Cw], step2[Cw:]
-    doneL = holdf & ~act
-    finishedA = parked & (termA | (stepA2 >= max_steps))
-    finishedW = doneL & (termW | (stepW2 >= max_steps))
-    contA = parked & ~finishedA
-    contW = doneL & ~finishedW
-    out_idx = jnp.where(jnp.concatenate([finishedA, finishedW]),
-                        BIG['index'].astype(jnp.int32), n_pool)
-    pool = pool.at[out_idx].set(BIG2, mode='drop')
-
-    # ---- slot redistribution, (C, w)-batched --------------------------
-    packedA = BIG2[:Cw].reshape(C, w, 16)
-    packedW = BIG2[Cw:].reshape(C, w, 16)
-    parked2 = parked.reshape(C, w)
-    busy = act.reshape(C, w)
-    walk_stay = busy | contW.reshape(C, w)
-    walk_free = ~walk_stay
-    odk_unc = odk_live & ~parked2
-    haveX = contA.reshape(C, w) | odk_unc
-    Xpacked = jnp.where(parked2[..., None], packedA, odk_packed)
-    Xstep = jnp.where(parked2, stepA2.reshape(C, w), odk_step)
-    stepW3 = stepW2.reshape(C, w)
-
-    seg_lo_a = jnp.asarray(seg_lo[:C], jnp.int32)[:, None]
-    seg_n_a = jnp.asarray(seg_sizes[:C], jnp.int32)[:, None]
-
-    # walking slot: keep -> spare -> pool
-    fromX = walk_free & haveX
-    fill1 = walk_free & ~haveX
-    rank1 = jnp.cumsum(fill1.astype(jnp.int32), axis=1) - 1
-    grab1 = next_ptr[:, None] + rank1
-    have1 = fill1 & (grab1 < seg_n_a)
-    src1 = seg_lo_a + jnp.clip(grab1, 0, seg_n_a - 1)
-    next_ptr = next_ptr + jnp.sum(fill1.astype(jnp.int32), axis=1)
-    new_packed = jnp.where(
-        walk_stay[..., None], packedW,
-        jnp.where(fromX[..., None], Xpacked,
-                  jnp.where(have1[..., None], pool[src1], packedW)))
-    new_step = jnp.where(walk_stay, stepW3,
-                         jnp.where(fromX, Xstep, jnp.zeros_like(stepW3)))
-    holding_next = walk_stay | fromX | have1
-
-    # on-deck slot: unplaced spare -> pool
-    keepX = haveX & ~fromX
-    fill2 = holding_next & ~keepX
-    rank2 = jnp.cumsum(fill2.astype(jnp.int32), axis=1) - 1
-    grab2 = next_ptr[:, None] + rank2
-    have2 = fill2 & (grab2 < seg_n_a)
-    src2 = seg_lo_a + jnp.clip(grab2, 0, seg_n_a - 1)
-    next_ptr = next_ptr + jnp.sum(fill2.astype(jnp.int32), axis=1)
-    new_odk = jnp.where(keepX[..., None], Xpacked,
-                        jnp.where(have2[..., None], pool[src2],
-                                  odk_packed))
-    new_odk_step = jnp.where(keepX, Xstep, jnp.zeros_like(Xstep))
-    new_odk_live = keepX | have2
-
-    # ---- seed the on-deck slots, ONE call over all chains -------------
-    f32 = lambda v: jax.lax.bitcast_convert_type(v, jnp.float32)
-    of_flat = new_odk.reshape(Cw, 16)
-    of_pos, of_dir = f32(of_flat[:, 0:3]), f32(of_flat[:, 3:6])
-    of_flags = of_flat[:, 12]
-    of_lht = jax.lax.bitcast_convert_type(of_flat[:, 13], jnp.int32)
-    ook = (new_odk_live.reshape(Cw)
-           & ((of_flags & TERM) == 0)
-           & ~jnp.isnan(jnp.sum(of_dir, axis=1)
-                        + jnp.sum(of_pos, axis=1)))
-    od = MP.od_seed(geom, int(geom.mbvh_depth), of_pos.T, of_dir.T,
-                    of_lht, ook)
-
-    # ---- reseed fresh walks, ONE MP.seed over all chains --------------
-    np_flat = new_packed.reshape(Cw, 16)
-    n_pos, n_dir = f32(np_flat[:, 0:3]), f32(np_flat[:, 3:6])
-    alive3 = (np_flat[:, 12] & TERM) == 0
-    ok3 = ~jnp.isnan(jnp.sum(n_pos, axis=1) + jnp.sum(n_dir, axis=1))
-    needf = (holding_next.reshape(Cw) & ~act & alive3 & ok3
-             & (new_step.reshape(Cw) < max_steps))
-    n_lht = jax.lax.bitcast_convert_type(np_flat[:, 13], jnp.int32)
-    Wseed = MP.seed(geom, int(geom.mbvh_depth), n_pos.T, n_dir.T,
-                    n_lht, needf)
-    Wall = {k: jnp.concatenate([ln['W_' + k] for ln in lanes], axis=1)
-            for k in MP.W_KEYS}
-    # clear the kernel's parked bookkeeping bit
-    Wall['uregs'] = Wall['uregs'].at[MP.U_PAD].set(
-        jnp.zeros(Cw, jnp.uint32))
-    ndm = needf[None, :]
-    for k in MP.W_KEYS:
-        Wall[k] = jnp.where(ndm, Wseed[k], Wall[k])
-
-    # ---- split back per chain -----------------------------------------
-    out_lanes = []
-    for c in range(C):
-        ln = dict(lanes[c])
-        ln['packed'] = new_packed[c]
-        ln['step'] = new_step[c]
-        ln['holding'] = holding_next[c]
-        ln['odk_packed'] = new_odk[c]
-        ln['odk_step'] = new_odk_step[c]
-        ln['odk_live'] = new_odk_live[c]
-        for k in MP.W_KEYS:
-            ln['W_' + k] = jax.lax.slice_in_dim(Wall[k], c * w,
-                                                (c + 1) * w, axis=1)
-        for k, v in od.items():
-            ln['W_' + k] = jax.lax.slice_in_dim(v, c * w, (c + 1) * w,
-                                                axis=1)
-        out_lanes.append(ln)
-    return out_lanes, pool, next_ptr, keys
-
-
 def _service_ondeck(lanes, pools, next_ptrs, keys, geom, max_steps,
-                    scatter_first, use_weights, idx_bases):
-    """Ondeck-mode service: ONE merged physics pass over BOTH the
-    parked (swapped-out) photons and the walking photons of every
-    chain, then per-chain retire / slot redistribution / refill.
+                    scatter_first, use_weights, idx_bases, od_slots=1):
+    """Ondeck-mode service: ONE merged physics pass over the parked
+    (swapped-out) photons and the walking photons of every chain, then
+    per-chain retire / slot redistribution / refill.
 
-    Each lane has two photon slots: WALKING (lane photon keys + live
-    walker registers) and ON-DECK (packed in ``odk_packed``).  The
-    kernel's drain-restart swap (mbvh_pallas._make_kernel ondeck)
-    moves the on-deck photon into the walking registers mid-window,
-    parking the finished walk's results — the lane dict's photon keys
-    then lag one photon behind until this pass reconciles:
+    Each lane has 1 + ``od_slots`` photon slots: WALKING (live walker
+    registers) and one or two ON-DECK slots (packed in ``odk_packed``
+    / ``odk2_packed``).  The kernel's drain-restart swap cascade
+    (mbvh_pallas._make_kernel ondeck) moves on-deck photons into the
+    walking registers mid-window, parking finished walks' results —
+    the packed storage then lags behind until this pass reconciles.
+    Storage map by (parked, parked2) pad bits:
 
-      parked bit set   -> lane keys = parked photon A (results in
-                          W_park); walking photon = odk_packed
-      parked bit clear -> lane keys = walking photon; on-deck photon
-                          (if any) unconsumed in odk_packed
+      (0, *) -> lane keys = walking photon; odk/odk2 unconsumed if
+                their live flags are set
+      (1, 0) -> lane keys = photon A (results in W_park); walking
+                photon = odk_packed; odk2 unconsumed if live
+      (1, 1) -> lane keys = photon A (W_park); odk_packed = photon B
+                (results in W_park2); walking photon = odk2_packed
 
-    After physics, a continuing parked photon or an unconsumed on-deck
-    photon (mutually exclusive — the swap consumes the on-deck slot
-    when it parks) becomes the new walking photon if that slot freed,
-    else goes (back) on deck; empty slots refill from the pool
-    (walking slot first, then on-deck)."""
+    After physics, surviving parked photons and unconsumed on-deck
+    photons become the lane's spares (at most two, one per on-deck
+    slot of origin); slots refill walking-first, then od1, then od2,
+    spares before pool.  od2 is never filled on a lane whose od1 slot
+    is empty (the kernel cascade consumes od1 first)."""
     C = len(lanes)
     ws = [ln['pos'].shape[0] for ln in lanes]
     w_all = sum(ws)
+    nsets = 1 + od_slots
     TERM = jnp.uint32(event.TERMINAL_FLAGS)
     key0, sk = jax.random.split(keys[0])
     keys = [key0] + list(keys[1:])
-    u = jax.random.uniform(sk, (2 * w_all, NDRAWS), dtype=jnp.float32)
+    u = jax.random.uniform(sk, (nsets * w_all, NDRAWS),
+                           dtype=jnp.float32)
 
     def cat(vals):
         return jnp.concatenate(vals, axis=0)
 
-    # ---- per-chain views: parked set P and walking set L ------------
-    parked_l, act_l, keysW_l, stepW_l, resP_l, resL_l = \
-        [], [], [], [], [], []
+    # ---- per-chain views: parked sets A/B and walking set L ---------
+    parked_l, parked2_l, act_l = [], [], []
+    keysB_l, keysW_l, stepB_l, stepW_l = [], [], [], []
+    resA_l, resB_l, resL_l = [], [], []
     for ln in lanes:
-        Wd = {k[2:]: ln[k] for k in _W_KEYS_OD}
+        Wd = {k[2:]: ln[k] for k in _w_keys_od(od_slots)}
         pr = MP.park_results(Wd)
         parked = pr.pop('parked')
         pr['incomplete'] = jnp.zeros(parked.shape[0], bool)
         parked_l.append(parked)
         act_l.append(ln['W_uregs'][MP.U_ACT] != 0)
         odk = _unpack(ln['odk_packed'])
-        keysW_l.append({
-            k: jnp.where(parked[:, None] if ln[k].ndim == 2 else parked,
-                         odk[k], ln[k]) for k in _PHOTON_KEYS})
-        stepW_l.append(jnp.where(parked, ln['odk_step'], ln['step']))
-        resP_l.append(pr)
+        resA_l.append(pr)
         resL_l.append(_pallas_results(ln))
+        if od_slots == 2:
+            pr2 = MP.park_results(Wd, 'park2')
+            parked2 = pr2.pop('parked')
+            pr2['incomplete'] = jnp.zeros(parked2.shape[0], bool)
+            parked2_l.append(parked2)
+            resB_l.append(pr2)
+            odk2 = _unpack(ln['odk2_packed'])
+            keysB_l.append(odk)
+            stepB_l.append(ln['odk_step'])
+            keysW_l.append({
+                k: jnp.where(
+                    parked2[:, None] if ln[k].ndim == 2 else parked2,
+                    odk2[k],
+                    jnp.where(
+                        parked[:, None] if ln[k].ndim == 2 else parked,
+                        odk[k], ln[k])) for k in _PHOTON_KEYS})
+            stepW_l.append(jnp.where(parked2, ln['odk2_step'],
+                                     jnp.where(parked, ln['odk_step'],
+                                               ln['step'])))
+        else:
+            keysW_l.append({
+                k: jnp.where(
+                    parked[:, None] if ln[k].ndim == 2 else parked,
+                    odk[k], ln[k]) for k in _PHOTON_KEYS})
+            stepW_l.append(jnp.where(parked, ln['odk_step'],
+                                     ln['step']))
 
     parked_a = cat(parked_l)
     act_a = cat(act_l)
     holding_a = cat([ln['holding'] for ln in lanes])
-    BIG = {k: jnp.concatenate(
-        [cat([ln[k] for ln in lanes]), cat([kw[k] for kw in keysW_l])],
-        axis=0) for k in _PHOTON_KEYS}
-    RES = {k: jnp.concatenate(
-        [cat([r[k] for r in resP_l]), cat([r[k] for r in resL_l])],
-        axis=0) for k in resL_l[0]}
-    step2 = jnp.concatenate([cat([ln['step'] for ln in lanes]),
-                             cat(stepW_l)])
+    # set layout: [A (lane keys) | (B = odk storage, slots=2) | L]
+    BIG = {}
+    for k in _PHOTON_KEYS:
+        parts = [cat([ln[k] for ln in lanes])]
+        if od_slots == 2:
+            parts.append(cat([kb[k] for kb in keysB_l]))
+        parts.append(cat([kw[k] for kw in keysW_l]))
+        BIG[k] = jnp.concatenate(parts, axis=0)
+    res_groups = [resA_l] + ([resB_l] if od_slots == 2 else []) \
+        + [resL_l]
+    RES = {k: jnp.concatenate([cat([r[k] for r in grp])
+                               for grp in res_groups], axis=0)
+           for k in resL_l[0]}
+    step_parts = [cat([ln['step'] for ln in lanes])]
+    if od_slots == 2:
+        step_parts.append(cat(stepB_l))
+    step_parts.append(cat(stepW_l))
+    step2 = jnp.concatenate(step_parts)
 
     # ---- one merged, fully predicated physics pass ------------------
     aliveB = (BIG['flags'] & TERM) == 0
     bad = jnp.isnan(jnp.sum(BIG['dir'], axis=1)
                     + jnp.sum(BIG['pos'], axis=1))
-    ready = (jnp.concatenate([parked_a, holding_a & ~act_a])
-             & aliveB & (step2 < max_steps))
+    ready_parts = [parked_a]
+    if od_slots == 2:
+        ready_parts.append(cat(parked2_l))
+    ready_parts.append(holding_a & ~act_a)
+    ready = jnp.concatenate(ready_parts) & aliveB & (step2 < max_steps)
     nan_mask = ready & bad
     flags = jnp.where(nan_mask,
                       BIG['flags']
@@ -475,16 +307,15 @@ def _service_ondeck(lanes, pools, next_ptrs, keys, geom, max_steps,
     for c in range(C):
         w = ws[c]
 
-        def slP(v, off=off, w=w):
-            return jax.lax.slice_in_dim(v, off, off + w)
+        def sl(v, g, off=off, w=w):
+            return jax.lax.slice_in_dim(v, g * w_all + off,
+                                        g * w_all + off + w)
 
-        def slL(v, off=off, w=w):
-            return jax.lax.slice_in_dim(v, w_all + off, w_all + off + w)
-
-        A2 = {k: slP(BIG[k]) for k in _PHOTON_KEYS}
-        W2 = {k: slL(BIG[k]) for k in _PHOTON_KEYS}
-        stepA2 = slP(step2)
-        stepW2 = slL(step2)
+        gL = nsets - 1
+        A2 = {k: sl(BIG[k], 0) for k in _PHOTON_KEYS}
+        W2 = {k: sl(BIG[k], gL) for k in _PHOTON_KEYS}
+        stepA2 = sl(step2, 0)
+        stepW2 = sl(step2, gL)
         parked = parked_l[c]
         act = act_l[c]
         lane = dict(lanes[c])
@@ -492,73 +323,127 @@ def _service_ondeck(lanes, pools, next_ptrs, keys, geom, max_steps,
         pool, next_ptr = pools[c], next_ptrs[c]
         n_pool = pool.shape[0]
 
-        termA = (A2['flags'] & TERM) != 0
-        finishedA = parked & (termA | (stepA2 >= max_steps))
-        contA = parked & ~finishedA
-        packedA = _pack(A2)
-        out_idxA = jnp.where(
-            finishedA, A2['index'].astype(jnp.int32) - idx_bases[c],
-            n_pool)
-        pool = pool.at[out_idxA].set(packedA, mode='drop')
+        # retire all finished photons of every set with ONE scatter:
+        # the service is op-fixed-cost bound (~2.2 ms/pass at C=3
+        # against ~0.6 ms of physics), so per-set scatters/gathers are
+        # merged, not volume-optimized
+        def fin_cont(P2, stepP2, pred):
+            fin = pred & (((P2['flags'] & TERM) != 0)
+                          | (stepP2 >= max_steps))
+            idx = jnp.where(
+                fin, P2['index'].astype(jnp.int32) - idx_bases[c],
+                n_pool)
+            return fin, pred & ~fin, _pack(P2), idx
 
-        termW = (W2['flags'] & TERM) != 0
+        finA, contA, packedA, idxA = fin_cont(A2, stepA2, parked)
         doneL = holding & ~act
-        finishedW = doneL & (termW | (stepW2 >= max_steps))
-        contW = doneL & ~finishedW
-        packedW = _pack(W2)
-        out_idxW = jnp.where(
-            finishedW, W2['index'].astype(jnp.int32) - idx_bases[c],
-            n_pool)
-        pool = pool.at[out_idxW].set(packedW, mode='drop')
+        finW, contW, packedW, idxW = fin_cont(W2, stepW2, doneL)
+        ret_idx = [idxA, idxW]
+        ret_dat = [packedA, packedW]
+        if od_slots == 2:
+            B2 = {k: sl(BIG[k], 1) for k in _PHOTON_KEYS}
+            stepB2 = sl(step2, 1)
+            parked2 = parked2_l[c]
+            finB, contB, packedB, idxB = fin_cont(B2, stepB2, parked2)
+            ret_idx.append(idxB)
+            ret_dat.append(packedB)
+        pool = pool.at[jnp.concatenate(ret_idx)].set(
+            jnp.concatenate(ret_dat, axis=0), mode='drop')
 
-        # the spare continuing photon per lane: a surviving parked
-        # photon, or the unconsumed on-deck photon (never both)
+        # spares: one per on-deck slot of origin.  s1 = the photon
+        # whose storage is the od1 slot (a surviving parked A, or the
+        # unconsumed od1 photon); s2 likewise for od2 (slots=2).
         busy = act
         walk_stay = busy | contW
         walk_free = ~walk_stay
-        odk_unc = lane['odk_live'] & ~parked
-        haveX = contA | odk_unc
-        Xpacked = jnp.where(parked[:, None], packedA,
-                            lane['odk_packed'])
-        Xstep = jnp.where(parked, stepA2, lane['odk_step'])
+        s1ex = contA | (lane['odk_live'] & ~parked)
+        s1p = jnp.where(parked[:, None], packedA, lane['odk_packed'])
+        s1s = jnp.where(parked, stepA2, lane['odk_step'])
+        if od_slots == 2:
+            s2ex = contB | (lane['odk2_live'] & ~parked2)
+            s2p = jnp.where(parked2[:, None], packedB,
+                            lane['odk2_packed'])
+            s2s = jnp.where(parked2, stepB2, lane['odk2_step'])
+        else:
+            s2ex = jnp.zeros_like(s1ex)
+            s2p, s2s = s1p, s1s
 
-        # walking slot: keep -> spare -> pool
-        fromX = walk_free & haveX
-        fill1 = walk_free & ~haveX
-        rank1 = jnp.cumsum(fill1.astype(jnp.int32)) - 1
-        grab1 = next_ptr + rank1
-        have1 = fill1 & (grab1 < n_pool)
-        src1 = jnp.clip(grab1, 0, n_pool - 1)
-        next_ptr = next_ptr + jnp.sum(fill1.astype(jnp.int32))
+        def grab_idx(fill, next_ptr):
+            # pool-refill slot indices only — the gathers of every
+            # slot pass are merged into ONE pool read below
+            rank = jnp.cumsum(fill.astype(jnp.int32)) - 1
+            grab = next_ptr + rank
+            have = fill & (grab < n_pool)
+            src = jnp.clip(grab, 0, n_pool - 1)
+            return have, src, \
+                next_ptr + jnp.sum(fill.astype(jnp.int32))
+
+        # walking slot: keep -> s1 -> s2 -> pool
+        useS1w = walk_free & s1ex
+        useS2w = walk_free & ~s1ex & s2ex
+        fillw = walk_free & ~s1ex & ~s2ex
+        have1, src1, next_ptr = grab_idx(fillw, next_ptr)
+        holding_next = walk_stay | useS1w | useS2w | have1
+
+        # od1 slot: first remaining spare -> pool
+        s1rem = s1ex & ~useS1w
+        s2rem = s2ex & ~useS2w
+        use1S1 = s1rem
+        use1S2 = s2rem & ~s1rem
+        fill1 = holding_next & ~use1S1 & ~use1S2
+        have2, src2, next_ptr = grab_idx(fill1, next_ptr)
+        odk_live_next = use1S1 | use1S2 | have2
+        srcs = [src1, src2]
+
+        if od_slots == 2:
+            # od2 slot: remaining spare -> pool (a spare only remains
+            # here when od1 took the other one, and pool refill only
+            # reaches od2 after od1 was refillable — so od2_live
+            # implies od1_live, the kernel cascade's invariant)
+            use2S2 = s2rem & ~use1S2
+            fill2 = holding_next & odk_live_next & ~use2S2
+            have3, src3, next_ptr = grab_idx(fill2, next_ptr)
+            srcs.append(src3)
+
+        poolp = pool[jnp.concatenate(srcs)]     # ONE gather
+        poolp1 = jax.lax.slice_in_dim(poolp, 0, w)
+        poolp2 = jax.lax.slice_in_dim(poolp, w, 2 * w)
+
         new_packed = jnp.where(
             walk_stay[:, None], packedW,
-            jnp.where(fromX[:, None], Xpacked,
-                      jnp.where(have1[:, None], pool[src1], packedW)))
+            jnp.where(useS1w[:, None], s1p,
+                      jnp.where(useS2w[:, None], s2p,
+                                jnp.where(have1[:, None], poolp1,
+                                          packedW))))
         fresh = _unpack(new_packed)
         for k in _PHOTON_KEYS:
             lane[k] = fresh[k]
         lane['step'] = jnp.where(
             walk_stay, stepW2,
-            jnp.where(fromX, Xstep, jnp.zeros_like(stepW2)))
-        holding_next = walk_stay | fromX | have1
+            jnp.where(useS1w, s1s,
+                      jnp.where(useS2w, s2s, jnp.zeros_like(stepW2))))
         lane['holding'] = holding_next
 
-        # on-deck slot: unplaced spare -> pool
-        keepX = haveX & ~fromX
-        fill2 = holding_next & ~keepX
-        rank2 = jnp.cumsum(fill2.astype(jnp.int32)) - 1
-        grab2 = next_ptr + rank2
-        have2 = fill2 & (grab2 < n_pool)
-        src2 = jnp.clip(grab2, 0, n_pool - 1)
-        next_ptr = next_ptr + jnp.sum(fill2.astype(jnp.int32))
         lane['odk_packed'] = jnp.where(
-            keepX[:, None], Xpacked,
-            jnp.where(have2[:, None], pool[src2], lane['odk_packed']))
-        lane['odk_step'] = jnp.where(keepX, Xstep, jnp.int32(0))
-        lane['odk_live'] = keepX | have2
+            use1S1[:, None], s1p,
+            jnp.where(use1S2[:, None], s2p,
+                      jnp.where(have2[:, None], poolp2,
+                                lane['odk_packed'])))
+        lane['odk_step'] = jnp.where(
+            use1S1, s1s, jnp.where(use1S2, s2s, jnp.int32(0)))
+        lane['odk_live'] = odk_live_next
 
-        # clear the kernel bookkeeping bits; seed the on-deck slot and
-        # reseed fresh walks
+        if od_slots == 2:
+            poolp3 = jax.lax.slice_in_dim(poolp, 2 * w, 3 * w)
+            lane['odk2_packed'] = jnp.where(
+                use2S2[:, None], s2p,
+                jnp.where(have3[:, None], poolp3,
+                          lane['odk2_packed']))
+            lane['odk2_step'] = jnp.where(use2S2, s2s, jnp.int32(0))
+            lane['odk2_live'] = use2S2 | have3
+
+        # clear the kernel bookkeeping bits; seed the on-deck slots
+        # and reseed fresh walks
         lane['W_uregs'] = lane['W_uregs'].at[MP.U_PAD].set(
             jnp.zeros(w, jnp.uint32))
         ofresh = _unpack(lane['odk_packed'])
@@ -566,11 +451,21 @@ def _service_ondeck(lanes, pools, next_ptrs, keys, geom, max_steps,
                & ((ofresh['flags'] & TERM) == 0)
                & ~jnp.isnan(jnp.sum(ofresh['dir'], axis=1)
                             + jnp.sum(ofresh['pos'], axis=1)))
-        od = MP.od_seed(geom, int(geom.mbvh_depth), ofresh['pos'].T,
-                        ofresh['dir'].T, ofresh['last_hit_triangle'],
-                        ook)
+        od = MP.od_slot_seed(ofresh['pos'].T, ofresh['dir'].T,
+                             ofresh['last_hit_triangle'], ook)
         for k, v in od.items():
             lane['W_' + k] = v
+        if od_slots == 2:
+            o2 = _unpack(lane['odk2_packed'])
+            ook2 = (lane['odk2_live']
+                    & ((o2['flags'] & TERM) == 0)
+                    & ~jnp.isnan(jnp.sum(o2['dir'], axis=1)
+                                 + jnp.sum(o2['pos'], axis=1)))
+            od2 = MP.od_slot_seed(o2['pos'].T, o2['dir'].T,
+                                  o2['last_hit_triangle'], ook2,
+                                  slot=2)
+            for k, v in od2.items():
+                lane['W_' + k] = v
         alive3 = (lane['flags'] & TERM) == 0
         ok = ~jnp.isnan(jnp.sum(lane['dir'], axis=1)
                         + jnp.sum(lane['pos'], axis=1))
@@ -791,7 +686,7 @@ def _compact_lanes(lane, m):
 
 
 def _make_lane(state, geom, lo, w, depth, pal=False, ondeck=False,
-               packed=None):
+               packed=None, od_slots=1):
     """Initial lane state for one chain: pool photons [lo, lo+w).
     Ondeck lanes (``packed`` given) store the photon as one packed
     (w, 16) array; other modes keep the SoA photon keys."""
@@ -820,10 +715,15 @@ def _make_lane(state, geom, lo, w, depth, pal=False, ondeck=False,
             # empty on-deck/park slots; the first service pass fills
             # them from the pool
             lane.update({'W_' + k: v
-                         for k, v in MP.ondeck_empty(w).items()})
+                         for k, v in MP.ondeck_empty(w, od_slots)
+                         .items()})
             lane.update(odk_packed=jnp.zeros((w, 16), jnp.uint32),
                         odk_step=jnp.zeros(w, jnp.int32),
                         odk_live=jnp.zeros(w, bool))
+            if od_slots == 2:
+                lane.update(odk2_packed=jnp.zeros((w, 16), jnp.uint32),
+                            odk2_step=jnp.zeros(w, jnp.int32),
+                            odk2_live=jnp.zeros(w, bool))
         return lane
     lane.update(lane_common)
     lane.update(
@@ -847,12 +747,12 @@ def _make_lane(state, geom, lo, w, depth, pal=False, ondeck=False,
                                    'service_every', 'chains',
                                    'use_pallas', 'prune',
                                    'service_frac', 'collect_stats',
-                                   'ondeck'))
+                                   'ondeck', 'od_slots'))
 def propagate_fused(state, geom, key, max_steps=100, use_weights=False,
                     scatter_first=0, width=None,
                     service_every=SERVICE_EVERY, chains=None,
                     use_pallas=None, prune=None, service_frac=None,
-                    collect_stats=None, ondeck=None):
+                    collect_stats=None, ondeck=None, od_slots=None):
     """Propagate all photons in ``state`` to termination, fused.
 
     Returns ``(final_state, stats)`` where ``stats`` is an int32[4]
@@ -892,6 +792,14 @@ def propagate_fused(state, geom, key, max_steps=100, use_weights=False,
     # static service cadence
     ondeck = bool(ondeck) and pal and service_frac is None \
         and os.environ.get('CHROMA_TPU_SERVICE_FRAC') is None
+    # Second on-deck slot: lifts walker utilization 0.73 -> 0.91 at
+    # se=17 but pays a third photon set in every service pass — r4
+    # head-to-head keeps slots=1 ahead (2.27M vs 2.16M at se=17;
+    # slots=2 only wins at stretched windows, 2.20M vs 2.10M at se=22)
+    # while the service pass costs ~2.2 ms of a ~3.9 ms window.
+    if od_slots is None:
+        od_slots = int(os.environ.get('CHROMA_TPU_OD_SLOTS', '1'))
+    od_slots = od_slots if ondeck else 1
     caller_index = state['index']
     state = dict(state, index=jnp.arange(state['pos'].shape[0],
                                          dtype=jnp.uint32))
@@ -912,24 +820,13 @@ def propagate_fused(state, geom, key, max_steps=100, use_weights=False,
     seg_lo = np.concatenate([[0], np.cumsum(seg_sizes)]).astype(int)
     w_c = [min(w_total // nchains, seg_sizes[c]) for c in range(nchains)]
 
-    # v2 = the chain-batched service experiment (measured loss; see
-    # _service_ondeck_v2) — opt in with CHROMA_TPU_ONDECK_V2=1
-    odk_v2 = ondeck and os.environ.get('CHROMA_TPU_ONDECK_V2') == '1'
-    if odk_v2:
-        # chain-batched service: ONE global pool, (C,) refill pointers
-        pools = [packed]
-        next_ptrs = [jnp.asarray(w_c, jnp.int32)]
-        lanes = [_make_lane(state, geom, seg_lo[c], w_c[c], depth,
-                            pal=pal, ondeck=True, packed=packed)
+    pools = [jax.lax.slice_in_dim(packed, seg_lo[c], seg_lo[c + 1])
+             for c in range(nchains)]
+    lanes = [_make_lane(state, geom, seg_lo[c], w_c[c], depth,
+                        pal=pal, ondeck=ondeck, od_slots=od_slots)
+             for c in range(nchains)]
+    next_ptrs = [jnp.asarray(w_c[c], jnp.int32)
                  for c in range(nchains)]
-    else:
-        pools = [jax.lax.slice_in_dim(packed, seg_lo[c], seg_lo[c + 1])
-                 for c in range(nchains)]
-        lanes = [_make_lane(state, geom, seg_lo[c], w_c[c], depth,
-                            pal=pal, ondeck=ondeck)
-                 for c in range(nchains)]
-        next_ptrs = [jnp.asarray(w_c[c], jnp.int32)
-                     for c in range(nchains)]
     keys = list(jax.random.split(key, nchains))
 
     # stats: [services, photon_steps, lane_iters, pending_lane_iters]
@@ -959,7 +856,15 @@ def propagate_fused(state, geom, key, max_steps=100, use_weights=False,
         rows = geom.mbvh_rows
         rbase = rows[0, mbvh.HDR_BASE].astype(jnp.int32) if ondeck \
             else None
-        wkeys = _W_KEYS_OD if ondeck else _W_KEYS
+        # the root's child boxes + count ride into the kernel as
+        # broadcast constants: the drain-restart swap seeds the fresh
+        # walk's pending set in-kernel (no pre-seeded codes in the
+        # per-lane state, no root slab test in the service pass)
+        root_lohi = MP.root_boxes_lohi(geom) if ondeck else None
+        rcount = (rows[0, mbvh.HDR_KIND]
+                  >> jnp.uint32(8)).astype(jnp.int32) if ondeck \
+            else None
+        wkeys = _w_keys_od(od_slots) if ondeck else _W_KEYS
 
         def pallas_step(lane):
             W = {k[2:]: lane[k] for k in wkeys}
@@ -968,7 +873,9 @@ def propagate_fused(state, geom, key, max_steps=100, use_weights=False,
             row_t = rows[ptr].T
             W = MP.walk_iter(row_t, W, p_depth, instanced, sq,
                              do_prune=(prune != 'off'),
-                             ondeck=ondeck, rbase=rbase)
+                             ondeck=ondeck, rbase=rbase,
+                             od_slots=od_slots, root_lohi=root_lohi,
+                             rcount=rcount)
             out = dict(lane)
             out.update({'W_' + k: v for k, v in W.items()})
             out['iters'] = lane['iters'] + 1
@@ -1006,29 +913,27 @@ def propagate_fused(state, geom, key, max_steps=100, use_weights=False,
                     .astype(jnp.int32)
                 if ondeck:
                     # parked (swapped-out) photons are serviced too —
-                    # a lane can retire BOTH a parked and a live-done
-                    # photon in one pass, so add, don't OR
+                    # a lane can retire a parked and a live-done
+                    # photon (and a second parked one with two on-deck
+                    # slots) in one pass, so add, don't OR
                     pad = jax.lax.bitcast_convert_type(
                         lanes[c]['W_uregs'][MP.U_PAD], jnp.int32)
                     ready = ready + jnp.sum((pad & 1) != 0) \
                         .astype(jnp.int32)
+                    if od_slots == 2:
+                        ready = ready + jnp.sum((pad & 4) != 0) \
+                            .astype(jnp.int32)
                 stats = stats + jnp.stack(
                     [jnp.asarray(1 if c == 0 else 0, jnp.int32),
                      ready,
                      jnp.sum(holding).astype(jnp.int32) * service_every,
                      jnp.asarray(0, jnp.int32)])
-            if odk_v2:
-                lanes, pool, ptr, keys = _service_ondeck_v2(
-                    lanes, pools[0], next_ptrs[0], keys, geom,
-                    max_steps, scatter_first, use_weights,
-                    [int(x) for x in seg_lo[:len(lanes)]],
-                    [int(x) for x in seg_sizes[:len(lanes)]])
-                pools, next_ptrs = [pool], [ptr]
-            elif ondeck:
+            if ondeck:
                 lanes, pools, next_ptrs, keys = _service_ondeck(
                     lanes, pools, next_ptrs, keys, geom, max_steps,
                     scatter_first, use_weights,
-                    [int(x) for x in seg_lo[:len(lanes)]])
+                    [int(x) for x in seg_lo[:len(lanes)]],
+                    od_slots=od_slots)
             else:
                 lanes, pools, next_ptrs, keys = _service_all(
                     lanes, pools, next_ptrs, keys, geom, max_steps,
@@ -1099,13 +1004,8 @@ def propagate_fused(state, geom, key, max_steps=100, use_weights=False,
                     more = active
                 else:
                     nhold = jnp.sum(lanes[c]['holding'].astype(jnp.int32))
-                    if odk_v2:
-                        seg_n = int(seg_sizes[c])
-                        ptr_c = next_ptrs[0][c]
-                    else:
-                        seg_n = pools[c].shape[0]
-                        ptr_c = next_ptrs[c]
-                    more = active & ((ptr_c < seg_n)
+                    seg_n = pools[c].shape[0]
+                    more = active & ((next_ptrs[c] < seg_n)
                                      | (nhold > targets[c]))
                 go = more if go is None else (go | more)
             return go

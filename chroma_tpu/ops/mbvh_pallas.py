@@ -119,7 +119,8 @@ def _i32(x):
     return jax.lax.bitcast_convert_type(x, jnp.int32)
 
 
-def _make_kernel(depth, instanced, do_prune=True, ondeck=False):
+def _make_kernel(depth, instanced, do_prune=True, ondeck=False,
+                 od_slots=1):
     """Kernel body closure for a static (depth, instanced, do_prune).
 
     ``do_prune=False`` disables the per-level prune, making the pop
@@ -137,17 +138,38 @@ def _make_kernel(depth, instanced, do_prune=True, ondeck=False):
     service pass (the dominant loss at service_every=10: util 0.59).
     Bookkeeping bits live in uregs[U_PAD]: bit0 ``parked`` (park holds
     unconsumed results; also means the on-deck slot was consumed),
-    bit1 ``done`` (live registers hold an unserviced finished walk)."""
+    bit1 ``done`` (live registers hold an unserviced finished walk).
+
+    On-deck slots are LIGHT: each carries only the ray, the last-hit
+    triangle and a valid flag (od_rays 6 rows + od_uregs 2 rows) — the
+    restarted walk's slot-0 pending set is seeded IN-KERNEL from the
+    root row, which rides along as a (ROW_WIDTH, 1) broadcast constant
+    input.  That keeps BRANCH i16 rows of pre-seeded codes out of the
+    per-lane state DMA and the root slab test out of the service pass
+    (compute has slack in this kernel; state DMA does not).
+
+    ``od_slots=2`` adds a SECOND on-deck slot (od2_*): a lane whose
+    restarted walk ALSO drains inside the window parks those results in
+    ``park2`` and restarts once more (pad bit2 = park2 occupied).  The
+    service must only fill od2 on lanes whose od1 slot is filled (the
+    cascade consumes od1 first)."""
     D = depth
     S = nslots(depth)
 
     def kernel(*refs):
-        if ondeck:
-            (sq_ref, rbase_ref, row_ref, od_rays_ref, od_tcodes_ref,
-             od_uregs_ref, rays_ref, tcodes_ref, bases_ref, uregs_ref,
-             hregs_ref, iregs_ref, park_ref, orays_ref, otcodes_ref,
-             obases_ref, ouregs_ref, ohregs_ref, oiregs_ref,
-             opark_ref) = refs
+        if ondeck and od_slots == 2:
+            (sq_ref, rbase_ref, rcount_ref, root_ref, row_ref,
+             od_rays_ref, od_uregs_ref, od2_rays_ref, od2_uregs_ref,
+             rays_ref, tcodes_ref, bases_ref, uregs_ref, hregs_ref,
+             iregs_ref, park_ref, park2_ref, orays_ref, otcodes_ref,
+             obases_ref, ouregs_ref, ohregs_ref, oiregs_ref, opark_ref,
+             opark2_ref) = refs
+        elif ondeck:
+            (sq_ref, rbase_ref, rcount_ref, root_ref, row_ref,
+             od_rays_ref, od_uregs_ref, rays_ref, tcodes_ref,
+             bases_ref, uregs_ref, hregs_ref, iregs_ref, park_ref,
+             orays_ref, otcodes_ref, obases_ref, ouregs_ref,
+             ohregs_ref, oiregs_ref, opark_ref) = refs
         else:
             (sq_ref, row_ref, rays_ref, tcodes_ref, bases_ref,
              uregs_ref, hregs_ref, iregs_ref, otcodes_ref, obases_ref,
@@ -384,42 +406,111 @@ def _make_kernel(depth, instanced, do_prune=True, ondeck=False):
             pad_in = _i32(pad_out)
             parked = (pad_in & 1) != 0
             done = ((pad_in & 2) != 0) | (act & ~act_n)
-            od_act = od_uregs_ref[1:2, :] != jnp.uint32(0)
-            swap = done & (~act_n) & (~parked) & od_act
+            od_act = od_uregs_ref[0:1, :] != jnp.uint32(0)
+            swap1 = done & (~act_n) & (~parked) & od_act
+            if od_slots == 2:
+                parked2 = (pad_in & 4) != 0
+                od2_act = od2_uregs_ref[0:1, :] != jnp.uint32(0)
+                swap2 = done & (~act_n) & parked & (~parked2) & od2_act
+                swap = swap1 | swap2
+            else:
+                swap = swap1
 
             # park the finished walk's results; restart on the on-deck
             # ray (live registers reset exactly as ``seed`` would)
-            opark_ref[:, :] = jnp.concatenate([
-                jnp.where(swap, md_out, park_ref[0:1, :]),
-                jnp.where(swap, nrm_out, park_ref[1:4, :]),
-                jnp.where(swap, _f32(_i32(tri_out)), park_ref[4:5, :]),
-                jnp.where(swap, _f32(_i32(mat_out)), park_ref[5:6, :]),
-            ], axis=0)
+            park_new = jnp.concatenate([
+                md_out, nrm_out, _f32(_i32(tri_out)),
+                _f32(_i32(mat_out))], axis=0)
+            opark_ref[:, :] = jnp.where(swap1, park_new, park_ref[:, :])
             od_org = od_rays_ref[0:3, :]
             od_dir = od_rays_ref[3:6, :]
+            od_lht = od_uregs_ref[1:2, :]
+            if od_slots == 2:
+                opark2_ref[:, :] = jnp.where(swap2, park_new,
+                                             park2_ref[:, :])
+                od_org = jnp.where(swap2, od2_rays_ref[0:3, :], od_org)
+                od_dir = jnp.where(swap2, od2_rays_ref[3:6, :], od_dir)
+                od_lht = jnp.where(swap2, od2_uregs_ref[1:2, :], od_lht)
             od_inv = 1.0 / od_dir
+            od_noid = -od_org * od_inv
             orays_ref[:, :] = jnp.where(
                 swap,
-                jnp.concatenate([od_org, od_dir, od_inv,
-                                 -od_org * od_inv], axis=0),
+                jnp.concatenate([od_org, od_dir, od_inv, od_noid],
+                                axis=0),
                 rays_ref[:, :])
             md_out = jnp.where(swap, jnp.inf, md_out)
             nrm_out = jnp.where(swap, 0.0, nrm_out)
             tri_out = jnp.where(swap, jnp.uint32(0xFFFFFFFF), tri_out)
             mat_out = jnp.where(swap, jnp.uint32(0), mat_out)
-            lht_out = jnp.where(swap, od_uregs_ref[2:3, :], lht_out)
+            lht_out = jnp.where(swap, od_lht, lht_out)
             tbase_out = jnp.where(swap, jnp.uint32(0), tbase_out)
-            ptr_n = jnp.where(swap, od_uregs_ref[0:1, :], ptr_n)
-            act_out = jnp.where(swap, jnp.uint32(1), act_out)
-            lvl_out = jnp.where(swap, jnp.uint32(1), lvl_out)
-            odt = od_tcodes_ref[:, :].astype(jnp.int32)
-            new_tcodes[0] = jnp.where(swap, odt, new_tcodes[0])
+
+            # ---- inline root seed for the restarted ray: slab-test
+            # the root's children against the on-deck ray (exactly
+            # ``seed``'s math) and pop the nearest — the restarted walk
+            # costs no extra iteration and no pre-seeded codes ride in
+            # the per-lane state.  The root child boxes arrive
+            # DEQUANTIZED as a (6*BRANCH, 1) constant (root_ref) and
+            # the child count as an SMEM scalar: Mosaic cannot
+            # broadcast a (1,1) vector across both axes, so nothing
+            # here may source a (1,1) from VMEM --------------------
+            if D >= 2:
+                stmin = None
+                stmax = None
+                for k in range(3):
+                    lok = root_ref[(2 * k) * BRANCH:
+                                   (2 * k + 1) * BRANCH, :]
+                    hik = root_ref[(2 * k + 1) * BRANCH:
+                                   (2 * k + 2) * BRANCH, :]
+                    t0 = lok * od_inv[k:k + 1, :] + od_noid[k:k + 1, :]
+                    t1 = hik * od_inv[k:k + 1, :] + od_noid[k:k + 1, :]
+                    finite = jnp.isfinite(od_inv[k:k + 1, :])
+                    small = jnp.where(finite, jnp.minimum(t0, t1),
+                                      -jnp.inf)
+                    big = jnp.where(finite, jnp.maximum(t0, t1),
+                                    jnp.inf)
+                    stmin = small if stmin is None \
+                        else jnp.maximum(stmin, small)
+                    stmax = big if stmax is None \
+                        else jnp.minimum(stmax, big)
+                stmin = jnp.maximum(stmin, 0.0)
+                sb_ok = ((stmin <= stmax)
+                         & (iota_slot < rcount_ref[0, 0]))
+                scodes = (jnp.where(
+                    sb_ok, jnp.clip(jnp.floor(stmin * sq), 0.0,
+                                    65534.0),
+                    65535.0) - float(_BIAS)).astype(jnp.int32)
+                sm = jnp.min(scodes, axis=0, keepdims=True)
+                sc = jnp.min(jnp.where((scodes == sm) & sb_ok,
+                                       iota_slot, BRANCH),
+                             axis=0, keepdims=True)      # (1, B)
+                s_act = jnp.any(sb_ok, axis=0, keepdims=True)
+                seed_tc = jnp.where(iota_slot == sc, _SENT16, scodes)
+                seed_ptr = jnp.where(
+                    s_act, _u32(rbase_ref[0, 0] + sc), jnp.uint32(0))
+                seed_lvl = jnp.uint32(1)
+            else:
+                # root is a single cluster row: pop it directly
+                s_act = jnp.ones_like(swap)
+                seed_tc = jnp.full((BRANCH, b), _SENT16, jnp.int32)
+                seed_ptr = jnp.zeros((1, b), jnp.uint32)
+                seed_lvl = jnp.uint32(0)
+
+            ptr_n = jnp.where(swap, seed_ptr, ptr_n)
+            act_out = jnp.where(
+                swap, jnp.where(s_act, jnp.uint32(1), jnp.uint32(0)),
+                act_out)
+            lvl_out = jnp.where(swap, seed_lvl, lvl_out)
+            new_tcodes[0] = jnp.where(swap, seed_tc, new_tcodes[0])
             for s in range(1, S):
                 new_tcodes[s] = jnp.where(swap, _SENT16, new_tcodes[s])
             new_bases[0] = jnp.where(swap, rbase_ref[0, 0],
                                      new_bases[0])
-            pad_out = _u32(jnp.where(parked | swap, 1, 0)
-                           | jnp.where(done & ~swap, 2, 0))
+            bits = (jnp.where(parked | swap1, 1, 0)
+                    | jnp.where(done & ~swap, 2, 0))
+            if od_slots == 2:
+                bits = bits | jnp.where(parked2 | swap2, 4, 0)
+            pad_out = _u32(bits)
 
         # ---- commit --------------------------------------------------
         otcodes_ref[:, :] = jnp.concatenate(new_tcodes,
@@ -444,19 +535,30 @@ def _make_kernel(depth, instanced, do_prune=True, ondeck=False):
 _RO_KEYS = ('rays',)
 _RW_KEYS = ('tcodes', 'bases', 'uregs', 'hregs', 'iregs')
 W_KEYS = _RO_KEYS + _RW_KEYS
-# ondeck mode: the od_* arrays are service-written kernel inputs; rays
-# becomes read-write (the swap loads the on-deck ray into it) and the
-# park registers hold the swapped-out walk's results
-OD_RO_KEYS = ('od_rays', 'od_tcodes', 'od_uregs')
+# ondeck mode: the od_* arrays are service-written kernel inputs
+# (ray + [valid, lht] per slot; the slot-0 pending set is seeded
+# in-kernel from the root row); rays becomes read-write (the swap
+# loads the on-deck ray into it) and the park registers hold the
+# swapped-out walk's results
+OD_RO_KEYS = ('od_rays', 'od_uregs')
 OD_RW_KEYS = ('rays', 'tcodes', 'bases', 'uregs', 'hregs', 'iregs',
               'park')
 OD_W_KEYS = OD_RO_KEYS + OD_RW_KEYS
+# two-slot ondeck: a second slot and a second park register set
+OD2_RO_KEYS = OD_RO_KEYS + ('od2_rays', 'od2_uregs')
+OD2_RW_KEYS = OD_RW_KEYS + ('park2',)
+OD2_W_KEYS = OD2_RO_KEYS + OD2_RW_KEYS
+
+
+def od_w_keys(od_slots):
+    return OD2_W_KEYS if od_slots == 2 else OD_W_KEYS
 
 
 @partial(jax.jit, static_argnames=('depth', 'instanced', 'block',
-                                   'do_prune', 'ondeck'))
+                                   'do_prune', 'ondeck', 'od_slots'))
 def walk_iter(row_t, W, depth, instanced, sq, block=DEFAULT_BLOCK,
-              do_prune=True, ondeck=False, rbase=None):
+              do_prune=True, ondeck=False, rbase=None, od_slots=1,
+              root_lohi=None, rcount=None):
     """One walker iteration over all lanes.
 
     ``row_t``: (ROW_WIDTH, n) u32 — transposed gathered rows.
@@ -467,9 +569,11 @@ def walk_iter(row_t, W, depth, instanced, sq, block=DEFAULT_BLOCK,
 
     ``ondeck``: enable the drain-restart path (see ``_make_kernel``).
     ``W`` must then also carry the ``od_*``/``park`` arrays
-    (``ondeck_empty``/``od_seed``), and ``rbase`` must be the root
-    row's HDR_BASE (i32 scalar) so a restarted lane's slot-0 pending
-    set points at the root's children.
+    (``ondeck_empty``/``od_slot_seed``), ``rbase``/``rcount`` must be
+    the root row's HDR_BASE / child count (i32 scalars) and
+    ``root_lohi`` the root's dequantized child boxes from
+    ``root_boxes_lohi(geom)`` — the in-kernel restart seed slab-tests
+    them.  ``od_slots=2`` adds the second slot's arrays.
     """
     n0 = row_t.shape[1]
     b = block
@@ -487,7 +591,8 @@ def walk_iter(row_t, W, depth, instanced, sq, block=DEFAULT_BLOCK,
     grid = (n // b,)
     D = depth
     S = nslots(D)
-    kern = _make_kernel(D, instanced, do_prune, ondeck=ondeck)
+    kern = _make_kernel(D, instanced, do_prune, ondeck=ondeck,
+                        od_slots=od_slots)
 
     def spec(rows_):
         return pl.BlockSpec((rows_, b), lambda i: (0, i),
@@ -498,24 +603,41 @@ def walk_iter(row_t, W, depth, instanced, sq, block=DEFAULT_BLOCK,
 
     shapes = dict(rays=(12, n), tcodes=(S * BRANCH, n), bases=(S, n),
                   uregs=(8, n), hregs=(4, n), iregs=(I_ROWS, n),
-                  od_rays=(6, n), od_tcodes=(BRANCH, n),
-                  od_uregs=(3, n), park=(6, n))
+                  od_rays=(6, n), od_uregs=(2, n), park=(6, n),
+                  od2_rays=(6, n), od2_uregs=(2, n), park2=(6, n))
     dtypes = dict(rays=jnp.float32, tcodes=jnp.int16, bases=jnp.int32,
                   uregs=jnp.uint32, hregs=jnp.float32, iregs=jnp.float32,
-                  od_rays=jnp.float32, od_tcodes=jnp.int16,
-                  od_uregs=jnp.uint32, park=jnp.float32)
+                  od_rays=jnp.float32, od_uregs=jnp.uint32,
+                  park=jnp.float32, od2_rays=jnp.float32,
+                  od2_uregs=jnp.uint32, park2=jnp.float32)
 
-    ro_keys = OD_RO_KEYS if ondeck else _RO_KEYS
-    rw_keys = OD_RW_KEYS if ondeck else _RW_KEYS
+    if ondeck and od_slots == 2:
+        ro_keys, rw_keys = OD2_RO_KEYS, OD2_RW_KEYS
+    elif ondeck:
+        ro_keys, rw_keys = OD_RO_KEYS, OD_RW_KEYS
+    else:
+        ro_keys, rw_keys = _RO_KEYS, _RW_KEYS
     scalars = [jnp.reshape(jnp.asarray(sq, jnp.float32), (1, 1))]
+    lead_blocks = []
+    lead_specs = []
     if ondeck:
         scalars.append(jnp.reshape(jnp.asarray(rbase, jnp.int32),
                                    (1, 1)))
-    n_lead = len(scalars) + 1          # scalar refs + the row block
+        scalars.append(jnp.reshape(jnp.asarray(rcount, jnp.int32),
+                                   (1, 1)))
+        # the root's dequantized child boxes ride along as a
+        # (6*BRANCH, 1) broadcast constant (the in-kernel restart seed
+        # slab-tests against them)
+        lead_blocks.append(root_lohi)
+        lead_specs.append(pl.BlockSpec((6 * BRANCH, 1),
+                                       lambda i: (0, 0),
+                                       memory_space=pltpu.VMEM))
+    n_lead = len(scalars) + len(lead_blocks) + 1   # + the row block
     out = pl.pallas_call(
         kern,
         grid=grid,
-        in_specs=[sq_spec] * len(scalars) + [spec(ROW_WIDTH)]
+        in_specs=[sq_spec] * len(scalars) + lead_specs
+        + [spec(ROW_WIDTH)]
         + [spec(shapes[k][0]) for k in ro_keys + rw_keys],
         out_specs=tuple(spec(shapes[k][0]) for k in rw_keys),
         out_shape=tuple(jax.ShapeDtypeStruct(shapes[k], dtypes[k])
@@ -523,7 +645,7 @@ def walk_iter(row_t, W, depth, instanced, sq, block=DEFAULT_BLOCK,
         input_output_aliases={i + n_lead + len(ro_keys): i
                               for i in range(len(rw_keys))},
         interpret=_interpret(),
-    )(*scalars, row_t, *[W[k] for k in ro_keys + rw_keys])
+    )(*scalars, *lead_blocks, row_t, *[W[k] for k in ro_keys + rw_keys])
     new = dict(zip(rw_keys, out))
     for k in ro_keys:
         new[k] = W[k]
@@ -621,38 +743,67 @@ def seed(geom, depth, org_t, dir_t, lht, active):
                 hregs=hregs, iregs=iregs)
 
 
-def ondeck_empty(n):
+def root_boxes_lohi(geom):
+    """Dequantized root child AABBs for the in-kernel restart seed:
+    (6*BRANCH, 1) f32, rows [lo_x | hi_x | lo_y | hi_y | lo_z | hi_z],
+    dequantized exactly as ``seed`` does (same corners => bit-equal
+    slab tests).  Zeros for depth<2 (the root is a cluster row and the
+    restart pops it directly)."""
+    if int(geom.mbvh_depth) < 2:
+        return jnp.zeros((6 * BRANCH, 1), jnp.float32)
+    root = geom.mbvh_rows[0]
+    parts = []
+    for k in range(3):
+        pk = root[BOX_OFF + k * BRANCH:BOX_OFF + (k + 1) * BRANCH]
+        bo = jax.lax.bitcast_convert_type(root[IBOX_ORIGIN_OFF + k],
+                                          jnp.float32)
+        bs = jax.lax.bitcast_convert_type(root[IBOX_SCALE_OFF + k],
+                                          jnp.float32)
+        parts.append(bo + (pk & jnp.uint32(0xFFFF)).astype(
+            jnp.float32) * bs)
+        parts.append(bo + (pk >> jnp.uint32(16)).astype(
+            jnp.float32) * bs)
+    return jnp.concatenate(parts)[:, None]
+
+
+def ondeck_empty(n, od_slots=1):
     """Empty on-deck/park walker-state extras (ondeck mode): no on-deck
-    ray (od_act=0), nothing parked."""
-    return dict(od_rays=jnp.zeros((6, n), jnp.float32),
-                od_tcodes=jnp.full((BRANCH, n), _SENT16, jnp.int16),
-                od_uregs=jnp.zeros((3, n), jnp.uint32),
-                park=jnp.zeros((6, n), jnp.float32))
+    ray (valid=0), nothing parked."""
+    out = dict(od_rays=jnp.zeros((6, n), jnp.float32),
+               od_uregs=jnp.zeros((2, n), jnp.uint32),
+               park=jnp.zeros((6, n), jnp.float32))
+    if od_slots == 2:
+        out.update(od2_rays=jnp.zeros((6, n), jnp.float32),
+                   od2_uregs=jnp.zeros((2, n), jnp.uint32),
+                   park2=jnp.zeros((6, n), jnp.float32))
+    return out
 
 
-def od_seed(geom, depth, org_t, dir_t, lht, valid):
-    """Seed the per-lane ON-DECK slot: the fresh ray's registers,
-    root-children codes and first pop, packed into the three od_*
-    walker inputs (od_uregs rows = [ptr, act, lht])."""
-    W = seed(geom, depth, org_t, dir_t, lht, valid)
-    return dict(od_rays=W['rays'][0:6],
-                od_tcodes=W['tcodes'][0:BRANCH],
-                od_uregs=jnp.stack([W['uregs'][U_PTR],
-                                    W['uregs'][U_ACT],
-                                    W['uregs'][U_LHT]], axis=0))
+def od_slot_seed(org_t, dir_t, lht, valid, slot=1):
+    """Seed a per-lane on-deck slot: only the ray, last-hit triangle
+    and a valid flag travel — the restarted walk's slot-0 pending set
+    is built IN-KERNEL from the root row at swap time (see
+    _make_kernel), so no root slab test runs here and no pre-seeded
+    codes ride in the walker state.  od_uregs rows = [valid, lht]."""
+    pre = 'od_' if slot == 1 else 'od2_'
+    return {pre + 'rays': jnp.concatenate([org_t, dir_t], axis=0),
+            pre + 'uregs': jnp.stack([valid.astype(jnp.uint32),
+                                      _u32(lht)], axis=0)}
 
 
-def park_results(W):
+def park_results(W, which='park'):
     """Traversal results parked by an in-kernel drain-restart swap
-    (ondeck mode), standard (n,)/(n,3) layout."""
-    p = W['park']
+    (ondeck mode), standard (n,)/(n,3) layout.  ``which='park2'``
+    reads the second slot's registers (pad bit2)."""
+    p = W[which]
+    bit = 1 if which == 'park' else 4
     return dict(
         triangle=jax.lax.bitcast_convert_type(p[4], jnp.int32),
         distance=p[0],
         normal=p[1:4].T,
         material_code=jax.lax.bitcast_convert_type(p[5], jnp.uint32),
         parked=(jax.lax.bitcast_convert_type(W['uregs'][U_PAD],
-                                             jnp.int32) & 1) != 0,
+                                             jnp.int32) & bit) != 0,
     )
 
 

@@ -5,7 +5,8 @@ Times each piece standalone (amortized over a fori_loop so the ~26 ms
 dispatch tax divides out):
 
   physics    physics_update over 2*w_all concatenated photons
-  od_seed    MP.od_seed at w_all lanes (root slab test, XLA side)
+  od_seed    MP.od_slot_seed at w_all lanes (slot packing only --
+             the root slab test moved into the kernel)
   seed       MP.seed at w_all lanes (the _reseed_pallas body)
   draws      jax.random.uniform (2*w_all, NDRAWS)
   pack       _pack + _unpack round trip at w_all
@@ -94,8 +95,8 @@ def main():
 
     def body_odseed(i, carry):
         pos_t, acc = carry
-        od = MP.od_seed(geom, depth, pos_t + 0.0 * acc, dir_t, lht,
-                        jnp.ones(w_all, bool))
+        od = MP.od_slot_seed(pos_t + 0.0 * acc, dir_t, lht,
+                             jnp.ones(w_all, bool))
         return pos_t, jnp.sum(od['od_rays']) * 0.0
     t = amortized(body_odseed, (pos_t, jnp.zeros(())), K)
     print(f'od_seed (1x{w_all}):        {t*1e3:7.3f} ms')

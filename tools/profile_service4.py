@@ -6,7 +6,7 @@ out to attribute the ~2 ms/pass cost:
 
   full        the real _service_ondeck
   -physics    physics_update -> identity
-  -seeds      od_seed + _reseed_pallas -> no-ops
+  -seeds      od_slot_seed + _reseed_pallas -> no-ops
   -both       both of the above
 
 Usage: python tools/profile_service4.py [tiny|full] [K]
@@ -29,6 +29,7 @@ from chroma_tpu.ops import mbvh_pallas as MP
 
 C = 3
 W = 4096
+OD_SLOTS = int(os.environ.get('OD_SLOTS', '1'))
 
 
 def build(geom, state):
@@ -39,7 +40,8 @@ def build(geom, state):
     pools = [jax.lax.slice_in_dim(packed, c * seg, (c + 1) * seg)
              for c in range(C)]
     lanes = [F._make_lane(state, geom, c * seg, W, depth, pal=True,
-                          ondeck=True) for c in range(C)]
+                          ondeck=True, od_slots=OD_SLOTS)
+             for c in range(C)]
     ptrs = [jnp.asarray(W, jnp.int32) for _ in range(C)]
     keys = list(jax.random.split(jax.random.PRNGKey(0), C))
     return lanes, pools, ptrs, keys
@@ -49,7 +51,7 @@ def run_variant(geom, state, label, K, patch_physics=False,
                 patch_seeds=False):
     orig_phys = F.physics_update
     orig_reseed = F._reseed_pallas
-    orig_odseed = MP.od_seed
+    orig_odseed = MP.od_slot_seed
 
     if patch_physics:
         def fake_physics(big, res, geom_, u, flags, active, nan_mask,
@@ -63,13 +65,12 @@ def run_variant(geom, state, label, K, patch_physics=False,
     if patch_seeds:
         F._reseed_pallas = lambda lane, need, geom_: lane
 
-        def fake_odseed(geom_, depth, pos_t, dir_t, lht, ok):
+        def fake_odseed(pos_t, dir_t, lht, ok, slot=1):
             n = pos_t.shape[1]
-            return dict(od_rays=jnp.zeros((6, n), jnp.float32),
-                        od_tcodes=jnp.full((MP.BRANCH, n), MP._SENT16,
-                                           jnp.int16),
-                        od_uregs=jnp.zeros((3, n), jnp.uint32))
-        MP.od_seed = fake_odseed
+            pre = 'od_' if slot == 1 else 'od2_'
+            return {pre + 'rays': jnp.zeros((6, n), jnp.float32),
+                    pre + 'uregs': jnp.zeros((2, n), jnp.uint32)}
+        MP.od_slot_seed = fake_odseed
 
     try:
         lanes, pools, ptrs, keys = build(geom, state)
@@ -82,7 +83,7 @@ def run_variant(geom, state, label, K, patch_physics=False,
                 lanes, pools, ptrs, keys = carry
                 lanes, pools, ptrs, keys = F._service_ondeck(
                     list(lanes), list(pools), list(ptrs), list(keys),
-                    geom, 100, 0, False, bases)
+                    geom, 100, 0, False, bases, od_slots=OD_SLOTS)
                 return tuple(lanes), tuple(pools), tuple(ptrs), \
                     tuple(keys)
             return jax.lax.fori_loop(0, K, body, carry)
@@ -100,7 +101,7 @@ def run_variant(geom, state, label, K, patch_physics=False,
     finally:
         F.physics_update = orig_phys
         F._reseed_pallas = orig_reseed
-        MP.od_seed = orig_odseed
+        MP.od_slot_seed = orig_odseed
 
 
 def main():

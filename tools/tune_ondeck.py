@@ -23,10 +23,11 @@ from chroma_tpu.benchmark import _isotropic_photons, _sync
 from chroma_tpu.ops.fused import propagate_fused
 
 
-def run(state, geom, key, n, width, se, chains, ondeck):
+def run(state, geom, key, n, width, se, chains, ondeck, od_slots=None):
     f = lambda: propagate_fused(state, geom, key, max_steps=100,
                                 width=width, service_every=se,
-                                chains=chains, ondeck=ondeck)
+                                chains=chains, ondeck=ondeck,
+                                od_slots=od_slots)
     out, stats = f()
     _sync(out['flags'])
     ts = []
@@ -37,7 +38,8 @@ def run(state, geom, key, n, width, se, chains, ondeck):
         ts.append(time.time() - t0)
     t = min(ts)
     sv, steps, li, ai = [int(x) for x in np.asarray(stats)]
-    print(f'n={n} w={width:6d} se={se:2d} C={chains} od={int(ondeck)}: '
+    print(f'n={n} w={width:6d} se={se:2d} C={chains} od={int(ondeck)}'
+          f'/{od_slots}: '
           f'{t:.3f}s {n/t/1e3:7.1f}k ph/s | util={ai/max(li,1):.2f} '
           f'rows/ph-step={ai/max(steps,1):.1f} sv={sv}', flush=True)
 
@@ -53,9 +55,19 @@ def main():
 
     grid = os.environ.get('TUNE_GRID', 'se')
     if grid == 'se':
-        run(state, geom, key, n, 12288, 10, 3, False)
-        for se in (8, 10, 12, 14, 18, 24):
-            run(state, geom, key, n, 12288, se, 3, True)
+        ses = os.environ.get('SE_LIST')
+        if ses:
+            slots = [int(x) for x in
+                     os.environ.get('SLOTS_LIST', '2').split(',')]
+            for se in (int(x) for x in ses.split(',')):
+                for sl in slots:
+                    run(state, geom, key, n,
+                        int(os.environ.get('W', 12288)), se,
+                        int(os.environ.get('C', 3)), True, od_slots=sl)
+        else:
+            run(state, geom, key, n, 12288, 10, 3, False)
+            for se in (8, 10, 12, 14, 18, 24):
+                run(state, geom, key, n, 12288, se, 3, True)
     elif grid == 'chains':
         for C, w in ((2, 8192), (2, 12288), (3, 12288), (3, 18432),
                      (4, 16384)):
