@@ -128,6 +128,22 @@ def _unpack(arr):
                 evidx=arr[:, 14], index=arr[:, 15])
 
 
+# ---- packed-row column views (ondeck lanes keep the photon PACKED:
+# one (w, 16) u32 array instead of ten SoA keys, so the op-count-bound
+# service pass spends ONE select/concat where the SoA layout spent ten)
+def _p_f32(p, lo, hi):
+    return jax.lax.bitcast_convert_type(p[:, lo:hi], jnp.float32)
+
+
+def _p_posdir_ok(p):
+    """alive-and-finite predicate of packed rows: no terminal flag and
+    no NaN in pos/dir (the same guard the SoA path computes)."""
+    ok = ~jnp.isnan(jnp.sum(_p_f32(p, 0, 3), axis=1)
+                    + jnp.sum(_p_f32(p, 3, 6), axis=1))
+    alive = (p[:, 12] & jnp.uint32(event.TERMINAL_FLAGS)) == 0
+    return alive & ok
+
+
 def _reseed(lane, need, geom):
     """Restart the BVH walk for lanes in ``need`` (root children
     slab-tested inline — mbvh.root_seed — so the walk starts at level
@@ -155,17 +171,23 @@ def _reseed(lane, need, geom):
     return out
 
 
-def _reseed_pallas(lane, need, geom):
-    """Pallas-mode _reseed: restart the walk (root children slab-tested
-    + first child popped inline in MP.seed) for lanes in ``need``."""
+def _reseed_pallas_from(lane, pos_t, dir_t, lht, need, geom):
+    """Restart the walk (root children slab-tested + first child popped
+    inline in MP.seed) for lanes in ``need``; ray inputs given
+    transposed ((3, w) pos/dir)."""
     depth = int(geom.mbvh_depth)
-    W2 = MP.seed(geom, depth, lane['pos'].T, lane['dir'].T,
-                 lane['last_hit_triangle'], need)
+    W2 = MP.seed(geom, depth, pos_t, dir_t, lht, need)
     out = dict(lane)
     nd = need[None, :]
     for k in _W_KEYS:
         out[k] = jnp.where(nd, W2[k[2:]], lane[k])
     return out
+
+
+def _reseed_pallas(lane, need, geom):
+    """Pallas-mode _reseed from the lane's SoA photon keys."""
+    return _reseed_pallas_from(lane, lane['pos'].T, lane['dir'].T,
+                               lane['last_hit_triangle'], need, geom)
 
 
 def _pallas_results(lane):
