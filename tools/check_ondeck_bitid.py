@@ -8,6 +8,10 @@ the service's data flow shows up as a mismatch.
 Usage:
   JAX_PLATFORMS=cpu python tools/check_ondeck_bitid.py save
   JAX_PLATFORMS=cpu python tools/check_ondeck_bitid.py check
+
+The baseline path defaults to a repo-local .cache/ (override with
+CHROMA_TPU_BITID_PATH) so baselines don't collide across
+users/workspaces on a shared machine.
 """
 import os
 import sys
@@ -26,7 +30,10 @@ from chroma_tpu.ops.geometry_pack import pack_geometry
 from chroma_tpu.ops.fused import propagate_fused
 from chroma_tpu.generator.photon import photon_bomb
 
-PATH = '/tmp/ondeck_bitid.npz'
+PATH = os.environ.get(
+    'CHROMA_TPU_BITID_PATH',
+    os.path.join(os.path.dirname(__file__), '..', '.cache',
+                 'ondeck_bitid.npz'))
 
 
 def run(od_slots, chains):
@@ -66,12 +73,26 @@ def main():
             blobs[f'{tag}.{k}'] = v
         blobs[f'{tag}.stats'] = stats
     if mode == 'save':
+        os.makedirs(os.path.dirname(PATH), exist_ok=True)
         np.savez(PATH, **blobs)
         print('saved', PATH, len(blobs), 'arrays')
         return
     ref = np.load(PATH)
     bad = 0
+    # diff key sets first: a missing baseline key (e.g. after editing
+    # the (od_slots, chains) config list) is a mismatch, not a
+    # traceback; stale extra baseline keys are reported too
+    missing = sorted(set(blobs) - set(ref.files))
+    extra = sorted(set(ref.files) - set(blobs))
+    for k in missing:
+        print('MISMATCH (missing from baseline)', k)
+        bad += 1
+    for k in extra:
+        print('MISMATCH (stale baseline key)', k)
+        bad += 1
     for k, v in blobs.items():
+        if k in missing:
+            continue
         r = ref[k]
         if not np.array_equal(r, v, equal_nan=True):
             nd = int(np.sum(r != v)) if r.shape == v.shape else -1
