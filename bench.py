@@ -23,6 +23,7 @@ import os, json, time
 os.environ.setdefault('JAX_COMPILATION_CACHE_DIR',
                       '/tmp/chroma_tpu_jax_cache_tpu')
 import numpy as np
+import jax
 from chroma_tpu import gpu, demo
 from chroma_tpu.benchmark import propagate
 
@@ -36,6 +37,21 @@ if gg is None:
     geo.flatten()
     gg = gpu.GPUDetector(geo)
     gg.save_table_cache(which)
+
+# preflight: the bit-integrity referee (chroma_tpu/referee.py).  The
+# round-4 denormal-flush bug class silently corrupts history flags at
+# some lane widths; a rate from a corrupting engine is worthless, so
+# REFUSE to report one (skip on CPU backends / via CHROMA_TPU_REFEREE=0
+# -- interpreted Pallas makes it pointless there).
+if jax.default_backend() == 'tpu' \
+        and os.environ.get('CHROMA_TPU_REFEREE', '1') != '0':
+    from chroma_tpu.referee import run_referee
+    failures = run_referee(gg.geom)
+    if failures:
+        print('RESULT ' + json.dumps(
+            {'value': 0.0, 'referee_failures': failures}))
+        raise SystemExit(1)
+
 nphotons = int(os.environ.get('BENCH_NPHOTONS', 1 << 20))
 rates = propagate(gg, number=3, nphotons=nphotons, max_steps=100)
 print('RESULT ' + json.dumps({'value': float(np.mean(rates[1:]))}))
@@ -53,7 +69,18 @@ def _try(detector, nphotons, timeout):
         return None
     for line in out.stdout.splitlines():
         if line.startswith('RESULT '):
-            return json.loads(line[len('RESULT '):])['value']
+            res = json.loads(line[len('RESULT '):])
+            if res.get('referee_failures'):
+                # bit-integrity preflight failed: refuse to report a
+                # rate (a number from a corrupting engine is garbage)
+                print(json.dumps({
+                    'metric': 'photons propagated/sec '
+                              '(REFUSED: bit-integrity referee failed)',
+                    'value': 0.0, 'unit': 'photons/s',
+                    'vs_baseline': 0.0,
+                    'referee_failures': res['referee_failures']}))
+                sys.exit(1)
+            return res['value']
     sys.stderr.write(out.stdout[-2000:] + out.stderr[-2000:])
     return None
 

@@ -71,7 +71,8 @@ def _use_pallas_default():
 # the service window is UNROLLED in the jitted driver, so compile time
 # grows with it — the CPU test suite pins a smaller value (conftest).
 SERVICE_EVERY = int(os.environ.get('CHROMA_TPU_SERVICE_EVERY', 17))
-DEFAULT_WIDTH = 12288   # total lane width across chains: 3 chains of
+DEFAULT_WIDTH = int(os.environ.get('CHROMA_TPU_WIDTH', 12288))
+                        # total lane width across chains: 3 chains of
                         # 4096 (r3, merged service pass) edge out 2 of
                         # 4096 at w=8192 — the third chain's gathers
                         # hide under the others' kernels while the
@@ -135,6 +136,10 @@ def _p_f32(p, lo, hi):
     return jax.lax.bitcast_convert_type(p[:, lo:hi], jnp.float32)
 
 
+def _p_i32(p, col):
+    return jax.lax.bitcast_convert_type(p[:, col], jnp.int32)
+
+
 def _p_posdir_ok(p):
     """alive-and-finite predicate of packed rows: no terminal flag and
     no NaN in pos/dir (the same guard the SoA path computes)."""
@@ -194,7 +199,7 @@ def _pallas_results(lane):
     """Traversal results for the service pass, pallas-mode lanes."""
     W = {k[2:]: lane[k] for k in _W_KEYS}
     r = MP.results(W)
-    w = lane['pos'].shape[0]
+    w = lane['W_uregs'].shape[1]
     return dict(triangle=r['triangle'], distance=r['distance'],
                 normal=r['normal'], material_code=r['material_code'],
                 incomplete=jnp.zeros(w, bool))
@@ -227,7 +232,7 @@ def _service_ondeck(lanes, pools, next_ptrs, keys, geom, max_steps,
     spares before pool.  od2 is never filled on a lane whose od1 slot
     is empty (the kernel cascade consumes od1 first)."""
     C = len(lanes)
-    ws = [ln['pos'].shape[0] for ln in lanes]
+    ws = [ln['pk'].shape[0] for ln in lanes]
     w_all = sum(ws)
     nsets = 1 + od_slots
     TERM = jnp.uint32(event.TERMINAL_FLAGS)
@@ -240,8 +245,11 @@ def _service_ondeck(lanes, pools, next_ptrs, keys, geom, max_steps,
         return jnp.concatenate(vals, axis=0)
 
     # ---- per-chain views: parked sets A/B and walking set L ---------
+    # photons ride PACKED ((w, 16) u32 rows): the pass is op-count
+    # bound, so every select/concat here is one array op instead of
+    # ten SoA ones (r5; the r4 layout spent ~10x the ops)
     parked_l, parked2_l, act_l = [], [], []
-    keysB_l, keysW_l, stepB_l, stepW_l = [], [], [], []
+    pkW_l, stepB_l, stepW_l = [], [], []
     resA_l, resB_l, resL_l = [], [], []
     for ln in lanes:
         Wd = {k[2:]: ln[k] for k in _w_keys_od(od_slots)}
@@ -250,7 +258,6 @@ def _service_ondeck(lanes, pools, next_ptrs, keys, geom, max_steps,
         pr['incomplete'] = jnp.zeros(parked.shape[0], bool)
         parked_l.append(parked)
         act_l.append(ln['W_uregs'][MP.U_ACT] != 0)
-        odk = _unpack(ln['odk_packed'])
         resA_l.append(pr)
         resL_l.append(_pallas_results(ln))
         if od_slots == 2:
@@ -259,38 +266,29 @@ def _service_ondeck(lanes, pools, next_ptrs, keys, geom, max_steps,
             pr2['incomplete'] = jnp.zeros(parked2.shape[0], bool)
             parked2_l.append(parked2)
             resB_l.append(pr2)
-            odk2 = _unpack(ln['odk2_packed'])
-            keysB_l.append(odk)
             stepB_l.append(ln['odk_step'])
-            keysW_l.append({
-                k: jnp.where(
-                    parked2[:, None] if ln[k].ndim == 2 else parked2,
-                    odk2[k],
-                    jnp.where(
-                        parked[:, None] if ln[k].ndim == 2 else parked,
-                        odk[k], ln[k])) for k in _PHOTON_KEYS})
+            pkW_l.append(jnp.where(
+                parked2[:, None], ln['odk2_packed'],
+                jnp.where(parked[:, None], ln['odk_packed'],
+                          ln['pk'])))
             stepW_l.append(jnp.where(parked2, ln['odk2_step'],
                                      jnp.where(parked, ln['odk_step'],
                                                ln['step'])))
         else:
-            keysW_l.append({
-                k: jnp.where(
-                    parked[:, None] if ln[k].ndim == 2 else parked,
-                    odk[k], ln[k]) for k in _PHOTON_KEYS})
+            pkW_l.append(jnp.where(parked[:, None], ln['odk_packed'],
+                                   ln['pk']))
             stepW_l.append(jnp.where(parked, ln['odk_step'],
                                      ln['step']))
 
     parked_a = cat(parked_l)
     act_a = cat(act_l)
     holding_a = cat([ln['holding'] for ln in lanes])
-    # set layout: [A (lane keys) | (B = odk storage, slots=2) | L]
-    BIG = {}
-    for k in _PHOTON_KEYS:
-        parts = [cat([ln[k] for ln in lanes])]
-        if od_slots == 2:
-            parts.append(cat([kb[k] for kb in keysB_l]))
-        parts.append(cat([kw[k] for kw in keysW_l]))
-        BIG[k] = jnp.concatenate(parts, axis=0)
+    # set layout: [A (lane rows) | (B = odk storage, slots=2) | L]
+    pk_parts = [cat([ln['pk'] for ln in lanes])]
+    if od_slots == 2:
+        pk_parts.append(cat([ln['odk_packed'] for ln in lanes]))
+    pk_parts.append(cat(pkW_l))
+    BIG = _unpack(jnp.concatenate(pk_parts, axis=0))
     res_groups = [resA_l] + ([resB_l] if od_slots == 2 else []) \
         + [resL_l]
     RES = {k: jnp.concatenate([cat([r[k] for r in grp])
@@ -322,6 +320,10 @@ def _service_ondeck(lanes, pools, next_ptrs, keys, geom, max_steps,
                                nan_mask, sf, use_weights=use_weights)
     BIG.update(new_state)
     step2 = step2 + ready.astype(jnp.int32)
+    # repack ONCE for every set's retire/spare plumbing below
+    PK2 = _pack(BIG)
+    flags2 = BIG['flags']
+    idx2 = BIG['index'].astype(jnp.int32)
 
     # ---- per-chain retire / redistribute / refill -------------------
     out_lanes, out_pools, out_ptrs = [], [], []
@@ -334,8 +336,8 @@ def _service_ondeck(lanes, pools, next_ptrs, keys, geom, max_steps,
                                         g * w_all + off + w)
 
         gL = nsets - 1
-        A2 = {k: sl(BIG[k], 0) for k in _PHOTON_KEYS}
-        W2 = {k: sl(BIG[k], gL) for k in _PHOTON_KEYS}
+        packedA = sl(PK2, 0)
+        packedW = sl(PK2, gL)
         stepA2 = sl(step2, 0)
         stepW2 = sl(step2, gL)
         parked = parked_l[c]
@@ -346,27 +348,25 @@ def _service_ondeck(lanes, pools, next_ptrs, keys, geom, max_steps,
         n_pool = pool.shape[0]
 
         # retire all finished photons of every set with ONE scatter:
-        # the service is op-fixed-cost bound (~2.2 ms/pass at C=3
-        # against ~0.6 ms of physics), so per-set scatters/gathers are
-        # merged, not volume-optimized
-        def fin_cont(P2, stepP2, pred):
-            fin = pred & (((P2['flags'] & TERM) != 0)
+        # the pass is dominated by this scatter + the refill gather
+        # (profile_poolio: ~60 ns/row scattered), so per-set
+        # scatters/gathers are merged
+        def fin_cont(g, stepP2, pred):
+            fin = pred & (((sl(flags2, g) & TERM) != 0)
                           | (stepP2 >= max_steps))
-            idx = jnp.where(
-                fin, P2['index'].astype(jnp.int32) - idx_bases[c],
-                n_pool)
-            return fin, pred & ~fin, _pack(P2), idx
+            idx = jnp.where(fin, sl(idx2, g) - idx_bases[c], n_pool)
+            return fin, pred & ~fin, idx
 
-        finA, contA, packedA, idxA = fin_cont(A2, stepA2, parked)
+        finA, contA, idxA = fin_cont(0, stepA2, parked)
         doneL = holding & ~act
-        finW, contW, packedW, idxW = fin_cont(W2, stepW2, doneL)
+        finW, contW, idxW = fin_cont(gL, stepW2, doneL)
         ret_idx = [idxA, idxW]
         ret_dat = [packedA, packedW]
         if od_slots == 2:
-            B2 = {k: sl(BIG[k], 1) for k in _PHOTON_KEYS}
+            packedB = sl(PK2, 1)
             stepB2 = sl(step2, 1)
             parked2 = parked2_l[c]
-            finB, contB, packedB, idxB = fin_cont(B2, stepB2, parked2)
+            finB, contB, idxB = fin_cont(1, stepB2, parked2)
             ret_idx.append(idxB)
             ret_dat.append(packedB)
         pool = pool.at[jnp.concatenate(ret_idx)].set(
@@ -437,9 +437,7 @@ def _service_ondeck(lanes, pools, next_ptrs, keys, geom, max_steps,
                       jnp.where(useS2w[:, None], s2p,
                                 jnp.where(have1[:, None], poolp1,
                                           packedW))))
-        fresh = _unpack(new_packed)
-        for k in _PHOTON_KEYS:
-            lane[k] = fresh[k]
+        lane['pk'] = new_packed
         lane['step'] = jnp.where(
             walk_stay, stepW2,
             jnp.where(useS1w, s1s,
@@ -465,35 +463,29 @@ def _service_ondeck(lanes, pools, next_ptrs, keys, geom, max_steps,
             lane['odk2_live'] = use2S2 | have3
 
         # clear the kernel bookkeeping bits; seed the on-deck slots
-        # and reseed fresh walks
+        # and reseed fresh walks (all predicates from packed views —
+        # no SoA unpack)
         lane['W_uregs'] = lane['W_uregs'].at[MP.U_PAD].set(
             jnp.zeros(w, jnp.uint32))
-        ofresh = _unpack(lane['odk_packed'])
-        ook = (lane['odk_live']
-               & ((ofresh['flags'] & TERM) == 0)
-               & ~jnp.isnan(jnp.sum(ofresh['dir'], axis=1)
-                            + jnp.sum(ofresh['pos'], axis=1)))
-        od = MP.od_slot_seed(ofresh['pos'].T, ofresh['dir'].T,
-                             ofresh['last_hit_triangle'], ook)
+        op = lane['odk_packed']
+        ook = lane['odk_live'] & _p_posdir_ok(op)
+        od = MP.od_slot_seed(_p_f32(op, 0, 3).T, _p_f32(op, 3, 6).T,
+                             _p_i32(op, 13), ook)
         for k, v in od.items():
             lane['W_' + k] = v
         if od_slots == 2:
-            o2 = _unpack(lane['odk2_packed'])
-            ook2 = (lane['odk2_live']
-                    & ((o2['flags'] & TERM) == 0)
-                    & ~jnp.isnan(jnp.sum(o2['dir'], axis=1)
-                                 + jnp.sum(o2['pos'], axis=1)))
-            od2 = MP.od_slot_seed(o2['pos'].T, o2['dir'].T,
-                                  o2['last_hit_triangle'], ook2,
-                                  slot=2)
+            o2 = lane['odk2_packed']
+            ook2 = lane['odk2_live'] & _p_posdir_ok(o2)
+            od2 = MP.od_slot_seed(_p_f32(o2, 0, 3).T,
+                                  _p_f32(o2, 3, 6).T,
+                                  _p_i32(o2, 13), ook2, slot=2)
             for k, v in od2.items():
                 lane['W_' + k] = v
-        alive3 = (lane['flags'] & TERM) == 0
-        ok = ~jnp.isnan(jnp.sum(lane['dir'], axis=1)
-                        + jnp.sum(lane['pos'], axis=1))
-        need = (holding_next & ~busy & alive3 & ok
+        need = (holding_next & ~busy & _p_posdir_ok(new_packed)
                 & (lane['step'] < max_steps))
-        lane = _reseed_pallas(lane, need, geom)
+        lane = _reseed_pallas_from(lane, _p_f32(new_packed, 0, 3).T,
+                                   _p_f32(new_packed, 3, 6).T,
+                                   _p_i32(new_packed, 13), need, geom)
         out_lanes.append(lane)
         out_pools.append(pool)
         out_ptrs.append(next_ptr)
@@ -710,8 +702,10 @@ def _compact_lanes(lane, m):
 def _make_lane(state, geom, lo, w, depth, pal=False, ondeck=False,
                packed=None, od_slots=1):
     """Initial lane state for one chain: pool photons [lo, lo+w).
-    Ondeck lanes (``packed`` given) store the photon as one packed
-    (w, 16) array; other modes keep the SoA photon keys."""
+    Ondeck lanes store the photon as ONE packed (w, 16) u32 row array
+    (key ``pk``) instead of ten SoA keys — the service pass is op-count
+    bound, so slot bookkeeping spends one select/concat where the SoA
+    layout spent ten; other modes keep the SoA photon keys."""
     lane = {k: jax.lax.slice_in_dim(v, lo, lo + w) for k, v in
             state.items()}
     lane_common = dict(
@@ -727,9 +721,10 @@ def _make_lane(state, geom, lo, w, depth, pal=False, ondeck=False,
         W = MP.seed(geom, int(geom.mbvh_depth), lane['pos'].T,
                     lane['dir'].T, lane['last_hit_triangle'],
                     alive & ok)
-        if ondeck and packed is not None:
-            lane = dict(packed=jax.lax.slice_in_dim(packed, lo, lo + w),
-                        **lane_common)
+        if ondeck:
+            pk = jax.lax.slice_in_dim(packed, lo, lo + w) \
+                if packed is not None else _pack(lane)
+            lane = dict(pk=pk, **lane_common)
         else:
             lane.update(lane_common)
         lane.update({'W_' + k: v for k, v in W.items()})
@@ -845,7 +840,8 @@ def propagate_fused(state, geom, key, max_steps=100, use_weights=False,
     pools = [jax.lax.slice_in_dim(packed, seg_lo[c], seg_lo[c + 1])
              for c in range(nchains)]
     lanes = [_make_lane(state, geom, seg_lo[c], w_c[c], depth,
-                        pal=pal, ondeck=ondeck, od_slots=od_slots)
+                        pal=pal, ondeck=ondeck, od_slots=od_slots,
+                        packed=packed if ondeck else None)
              for c in range(nchains)]
     next_ptrs = [jnp.asarray(w_c[c], jnp.int32)
                  for c in range(nchains)]

@@ -29,14 +29,19 @@ from chroma_tpu import make
 from chroma_tpu.geometry import Material, Solid, Surface
 from chroma_tpu.detector import Detector
 
-R = 1000.0                # mm
-QE = 0.25
-SURVIVE_BULK = 0.8        # exp(-R / L_abs)
-N_MEDIUM = 1.4
-T_RMS = 1.2               # ns
-Q_MEAN, Q_RMS = 1.0, 0.25
-NPHOTONS = 40000
-NEVENTS = 6
+# the configuration is shared with tools/make_golden_reference.py (the
+# CUDA-reference generator) via tools/golden_config.py, so both engines
+# face these exact closed-form expectations by construction
+from tools.golden_config import (build_analytic_sphere, SPHERE_R as R,
+                                 SPHERE_QE as QE,
+                                 SPHERE_SURVIVE_BULK as SURVIVE_BULK,
+                                 SPHERE_N as N_MEDIUM,
+                                 SPHERE_T_RMS as T_RMS,
+                                 SPHERE_NPHOTONS as NPHOTONS,
+                                 SPHERE_NEVENTS as NEVENTS,
+                                 SPHERE_WAVELENGTH, SPHERE_SEED,
+                                 SPHERE_NSTEPS)
+
 C_MM_NS = 299.792458
 
 T0 = R * N_MEDIUM / C_MM_NS
@@ -45,30 +50,17 @@ P_DETECT = SURVIVE_BULK * QE
 
 @pytest.fixture(scope='module')
 def sphere_sim():
-    medium = Material('clear')
-    medium.set('refractive_index', N_MEDIUM)
-    medium.set('absorption_length', R / np.log(1.0 / SURVIVE_BULK))
-    medium.set('scattering_length', 1e9)
-
-    cathode = Surface('full_cathode')
-    cathode.set('detect', QE)
-    cathode.set('absorb', 1.0 - QE)
-
-    det = Detector(medium)
-    det.add_pmt(Solid(make.sphere(R, nsteps=64), medium, medium,
-                      surface=cathode))
-    det.set_time_dist_gaussian(T_RMS, -6.0 * T_RMS, 6.0 * T_RMS)
-    det.set_charge_dist_gaussian(Q_MEAN, Q_RMS, 0.0, 2.0 * Q_MEAN)
-
+    det = build_analytic_sphere(make, Solid, Material, Surface,
+                                Detector)
     from chroma_tpu.sim import Simulation
-    return Simulation(det, geant4_processes=0, seed=31)
+    return Simulation(det, geant4_processes=0, seed=SPHERE_SEED)
 
 
 def _events(sim):
     from chroma_tpu.generator.photon import photon_bomb
     for i in range(NEVENTS):
         yield next(sim.simulate(
-            [photon_bomb(NPHOTONS, 450.0, (0.0, 0.0, 0.0))],
+            [photon_bomb(NPHOTONS, SPHERE_WAVELENGTH, (0.0, 0.0, 0.0))],
             run_daq=True, keep_photons_end=True))
 
 
@@ -111,7 +103,7 @@ def test_analytic_detection_fraction_and_tof(sphere_sim):
     # R cos(pi/nsteps) ~ R (1 - 1.2e-3) from the center)
     t = np.concatenate(t_unsmeared)
     assert len(t) > 0.9 * P_DETECT * NPHOTONS * NEVENTS
-    facet = 1.0 - np.cos(np.pi / 64)
+    facet = 1.0 - np.cos(np.pi / SPHERE_NSTEPS)
     assert (t <= T0 * (1 + 1e-4)).all()
     assert (t >= T0 * (1 - 3 * facet)).all()
     np.testing.assert_allclose(np.mean(t), T0, rtol=2 * facet)

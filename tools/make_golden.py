@@ -13,16 +13,15 @@ cross-package agreement.
 """
 import argparse
 import os
+import sys
 
 import numpy as np
 
-GOLDEN_SEED = 1234
-NPHOTONS = 40000
-WAVELENGTH = 400.0
-BOMB_POS = (200.0, 0.0, 0.0)
-NEVENTS = 8
-TIME_BINS = np.linspace(0.0, 40.0, 81)
-CHARGE_BINS = np.linspace(0.0, 4.0, 41)
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from golden_config import (GOLDEN_SEED, NPHOTONS, WAVELENGTH,  # noqa: E402
+                           BOMB_POS, NEVENTS, TIME_BINS, CHARGE_BINS,
+                           FULL_SEED, FULL_NPHOTONS, FULL_NEVENTS,
+                           FULL_TIME_BINS)
 
 
 def simulate_histograms(seed):
@@ -52,7 +51,8 @@ def simulate_histograms(seed):
                 nphotons=np.asarray(NPHOTONS),
                 wavelength=np.asarray(WAVELENGTH),
                 bomb_pos=np.asarray(BOMB_POS),
-                seed=np.asarray(GOLDEN_SEED))
+                seed=np.asarray(GOLDEN_SEED),
+                engine=np.asarray('chroma_tpu'))
 
 
 # ---- full-demo golden (VERDICT r2 #9): hit-time PDF + detection
@@ -60,12 +60,7 @@ def simulate_histograms(seed):
 # perf work cannot silently change the physics.  Requires the 'full'
 # packed-table cache (tools/build_full_demo.py); the matching test
 # (tests/test_golden.py::test_golden_full_demo) skips without it.
-FULL_SEED = 4321
-FULL_NPHOTONS = 200000
-FULL_TIME_BINS = np.linspace(0.0, 120.0, 121)
-
-
-def simulate_full_histograms(seed, nevents=4):
+def simulate_full_histograms(seed, nevents=FULL_NEVENTS):
     import jax
     from chroma_tpu import event, gpu
 
@@ -87,7 +82,8 @@ def simulate_full_histograms(seed, nevents=4):
                 det_frac=np.asarray(det / float(nevents * FULL_NPHOTONS)),
                 time_bins=FULL_TIME_BINS, nevents=np.asarray(nevents),
                 nphotons=np.asarray(FULL_NPHOTONS),
-                seed=np.asarray(seed))
+                seed=np.asarray(seed),
+                engine=np.asarray('chroma_tpu'))
 
 
 def _full_bomb(n, seed):

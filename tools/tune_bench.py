@@ -1,0 +1,73 @@
+"""Tune the fused driver against the LITERAL bench.py protocol.
+
+The round-3/4 sweeps tuned against best-of warm-process loops and
+recorded rates ~10% above what the driver's official bench.py captured
+(2.41M sweep vs 2.18M BENCH_r04).  This tool eliminates that gap by
+sweeping configs through bench.py's own child process: fresh
+subprocess, fresh GPUPhotons upload per rep, number=3, mean-of-last-2
+(round-4 verdict, next-round item 1a).
+
+Config knobs ride as env vars into the child:
+  CHROMA_TPU_SERVICE_EVERY, CHROMA_TPU_OD_SLOTS, CHROMA_TPU_CHAINS,
+  CHROMA_TPU_WIDTH
+
+Usage:
+  python tools/tune_bench.py                 # default grid
+  GRID='17:1:3:12288,20:2:3:12288' python tools/tune_bench.py
+      (se:od_slots:chains:width per entry)
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), '..'))
+import bench
+
+
+DEFAULT_GRID = [
+    # (se, od_slots, chains, width)
+    (17, 1, 3, 12288),   # shipped r4 default
+    (14, 1, 3, 12288),
+    (16, 1, 3, 12288),
+    (18, 1, 3, 12288),
+    (20, 1, 3, 12288),
+    (17, 2, 3, 12288),
+    (20, 2, 3, 12288),
+    (22, 2, 3, 12288),
+    (26, 2, 3, 12288),
+]
+
+
+def parse_grid(s):
+    out = []
+    for entry in s.split(','):
+        se, od, c, w = (int(x) for x in entry.split(':'))
+        out.append((se, od, c, w))
+    return out
+
+
+def main():
+    grid = parse_grid(os.environ['GRID']) if 'GRID' in os.environ \
+        else DEFAULT_GRID
+    detector = os.environ.get('TUNE_DETECTOR', 'full')
+    nphotons = int(os.environ.get('TUNE_NPHOTONS', 1 << 20))
+    best = (None, 0.0)
+    for se, od, c, w in grid:
+        os.environ['CHROMA_TPU_SERVICE_EVERY'] = str(se)
+        os.environ['CHROMA_TPU_OD_SLOTS'] = str(od)
+        os.environ['CHROMA_TPU_CHAINS'] = str(c)
+        os.environ['CHROMA_TPU_WIDTH'] = str(w)
+        t0 = time.time()
+        value = bench._try(detector, nphotons, 3000)
+        dt = time.time() - t0
+        rate = value or 0.0
+        tag = f'se={se:2d} od={od} C={c} w={w:5d}'
+        print(f'{tag}: {rate/1e6:6.3f} M photons/s   '
+              f'({dt:.0f}s wall)', flush=True)
+        if rate > best[1]:
+            best = (tag, rate)
+    print(f'BEST {best[0]}: {best[1]/1e6:.3f} M photons/s', flush=True)
+
+
+if __name__ == '__main__':
+    main()
