@@ -320,8 +320,15 @@ def _service_ondeck(lanes, pools, next_ptrs, keys, geom, max_steps,
                                nan_mask, sf, use_weights=use_weights)
     BIG.update(new_state)
     step2 = step2 + ready.astype(jnp.int32)
-    # repack ONCE for every set's retire/spare plumbing below
-    PK2 = _pack(BIG)
+    # repack ONCE for every set's retire/spare plumbing below.  Rows
+    # the physics pass did not advance (``~ready`` — terminal on
+    # arrival, empty slots) must keep their exact original words: the
+    # unpack -> f32 select -> repack cycle canonicalizes subnormal /
+    # NaN-payload float patterns on XLA:TPU (the round-4 flush class,
+    # caught by referee check 1), so the final select is done at the
+    # u32 level where every backend is bit-exact.
+    PK2 = jnp.where(ready[:, None], _pack(BIG),
+                    jnp.concatenate(pk_parts, axis=0))
     flags2 = BIG['flags']
     idx2 = BIG['index'].astype(jnp.int32)
 
@@ -765,11 +772,12 @@ def _make_lane(state, geom, lo, w, depth, pal=False, ondeck=False,
                                    'use_pallas', 'prune',
                                    'service_frac', 'collect_stats',
                                    'ondeck', 'od_slots'))
-def propagate_fused(state, geom, key, max_steps=100, use_weights=False,
-                    scatter_first=0, width=None,
-                    service_every=SERVICE_EVERY, chains=None,
-                    use_pallas=None, prune=None, service_frac=None,
-                    collect_stats=None, ondeck=None, od_slots=None):
+def _propagate_fused_packed(state, geom, key, max_steps=100,
+                            use_weights=False, scatter_first=0,
+                            width=None, service_every=SERVICE_EVERY,
+                            chains=None, use_pallas=None, prune=None,
+                            service_frac=None, collect_stats=None,
+                            ondeck=None, od_slots=None):
     """Propagate all photons in ``state`` to termination, fused.
 
     Returns ``(final_state, stats)`` where ``stats`` is an int32[4]
@@ -1056,6 +1064,25 @@ def propagate_fused(state, geom, key, max_steps=100, use_weights=False,
     lanes, pools, next_ptrs, keys, stats = run_stage(*carry, None)
 
     stats = stats.at[3].set(sum(lane['nactive'] for lane in lanes))
-    out = _unpack(jnp.concatenate(pools, axis=0))
+    return jnp.concatenate(pools, axis=0), caller_index, stats
+
+
+@jax.jit
+def _unpack_out(packed, caller_index):
+    out = _unpack(packed)
     out['index'] = caller_index
-    return out, stats
+    return out
+
+
+def propagate_fused(state, geom, key, **kw):
+    """Propagate all photons in ``state`` to termination, fused; see
+    ``_propagate_fused_packed`` for the driver and every knob.
+
+    The final u32 -> f32 unpack runs in its OWN jit on purpose: fused
+    into the driver graph, XLA:TPU canonicalizes subnormal / NaN-
+    payload float patterns riding the packed pool words (the round-4
+    flush class; referee check 1 catches it).  As a standalone
+    bitcast-and-slice kernel the unpack is bit-exact."""
+    packed, caller_index, stats = _propagate_fused_packed(
+        state, geom, key, **kw)
+    return _unpack_out(packed, caller_index), stats

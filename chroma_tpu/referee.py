@@ -101,7 +101,11 @@ def _live_state(n, seed=5):
 def _diff_keys(a, b):
     bad = []
     for k in a:
-        va, vb = np.asarray(a[k]), np.asarray(b[k])
+        # ascontiguousarray: device arrays can come back as strided
+        # views (e.g. a transposed lane layout), and ndarray.view
+        # refuses non-contiguous reinterprets
+        va = np.ascontiguousarray(np.asarray(a[k]))
+        vb = np.ascontiguousarray(np.asarray(b[k]))
         if not (va.shape == vb.shape
                 and np.array_equal(va.view(np.uint8),
                                    vb.view(np.uint8))):
@@ -167,6 +171,12 @@ def run_referee(geom, widths=WIDTHS, verbose=True,
 
 def main():
     import sys
+    # same persistent compile cache as the bench child, so standalone
+    # referee runs share (and pre-warm) the preflight compiles
+    os.environ.setdefault('JAX_COMPILATION_CACHE_DIR',
+                          '/tmp/chroma_tpu_jax_cache_tpu')
+    jax.config.update('jax_compilation_cache_dir',
+                      os.environ['JAX_COMPILATION_CACHE_DIR'])
     from chroma_tpu import gpu, demo
     which = sys.argv[1] if len(sys.argv) > 1 else 'tiny'
     gg = gpu.GPUDetector.from_table_cache(which)

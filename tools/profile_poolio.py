@@ -27,6 +27,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+jax.config.update('jax_enable_x64', True)   # for the u64-view variants
+
 N_POOL = 1 << 19        # ~half the 1M-photon pool, per chain scale x3
 ROWS = 8192             # 2w at w=4096 (one chain's retire volume)
 
@@ -107,6 +109,54 @@ def main():
         lambda i, c: (c[0].at[:, (scat + i) % N_POOL].set(
             rowsT + i.astype(jnp.uint32)), c[1])),
         (poolT, jnp.uint32(0)), K)
+
+    # u64 view: half the row elements (same 64 B/row) — tests whether
+    # the scatter cost is per-element or per-row
+    pool64 = jnp.zeros((N_POOL, 8), jnp.uint64)
+    rows64 = jax.lax.bitcast_convert_type(
+        rows.reshape(ROWS, 8, 2), jnp.uint64)
+    timeit('scatter u64 view', loop(
+        lambda i, c: (c[0].at[(scat + i) % N_POOL].set(
+            rows64 + jnp.uint64(1)), c[1])),
+        (pool64, jnp.uint32(0)), K)
+
+    timeit('gather u64 view', loop(
+        lambda i, c: (c[0],
+                      c[1] + c[0][(scat + i) % N_POOL].sum(
+                          dtype=jnp.uint64).astype(jnp.uint32))),
+        (pool64, jnp.uint32(0)), K)
+
+    # operand-size dependence: gather/scatter on a staging-sized
+    # operand (2w rows).  If small-operand row IO is much cheaper, the
+    # pool IO can be staged: contiguous dynamic_slice from the pool +
+    # small distribute-gather (refill); small compact + contiguous
+    # dynamic_update_slice (retire).
+    small = jnp.arange(2 * ROWS * 16, dtype=jnp.uint32) \
+        .reshape(2 * ROWS, 16)
+    sidx = jnp.asarray(np.random.RandomState(1)
+                       .choice(2 * ROWS, ROWS, replace=False)
+                       .astype(np.int32))
+    timeit('gather small operand', loop(
+        lambda i, c: (c[0],
+                      c[1] + small[(sidx + i) % (2 * ROWS)].sum(
+                          dtype=jnp.uint32))),
+        (pool, jnp.uint32(0)), K)
+
+    stag = jnp.zeros((2 * ROWS, 16), jnp.uint32)
+    timeit('scatter small operand', loop(
+        lambda i, c: (c[0].at[(sidx + i) % (2 * ROWS)].set(
+            rows + i.astype(jnp.uint32)), c[1])),
+        (stag, jnp.uint32(0)), K)
+
+    # staged refill: contiguous slice from the big pool + small
+    # distribute-gather — the replacement candidate for `pool[idx]`
+    timeit('staged refill', loop(
+        lambda i, c: (c[0],
+                      c[1] + jax.lax.dynamic_slice(
+                          c[0], ((i * 13) % (N_POOL - 2 * ROWS), 0),
+                          (2 * ROWS, 16))[(sidx + i) % (2 * ROWS)].sum(
+                              dtype=jnp.uint32))),
+        (pool, jnp.uint32(0)), K)
 
 
 def extra():
