@@ -37,6 +37,11 @@ PATH = os.environ.get(
 
 
 def run(od_slots, chains):
+    # the production MIN_CHAIN_WIDTH collapses multi-chain configs at
+    # this test width to one chain, which would leave the multi-chain
+    # service tail unexercised — drop it so `chains` means chains
+    from chroma_tpu.ops import fused as F
+    F.MIN_CHAIN_WIDTH = 128
     geo = tiny()
     geo.flatten()
     geom = pack_geometry(geo)
@@ -66,7 +71,7 @@ def run(od_slots, chains):
 def main():
     mode = sys.argv[1] if len(sys.argv) > 1 else 'check'
     blobs = {}
-    for od_slots, chains in ((1, 1), (1, 2), (2, 1)):
+    for od_slots, chains in ((1, 1), (1, 2), (2, 1), (1, 3), (2, 2)):
         tag = f's{od_slots}c{chains}'
         out, stats = run(od_slots, chains)
         for k, v in out.items():

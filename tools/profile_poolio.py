@@ -23,6 +23,9 @@ import time
 os.environ.setdefault('JAX_COMPILATION_CACHE_DIR',
                       '/tmp/chroma_tpu_jax_cache_tpu')
 
+sys.path.insert(0, os.path.join(os.path.dirname(
+    os.path.abspath(__file__)), '..'))
+
 import numpy as np
 import jax
 import jax.numpy as jnp
