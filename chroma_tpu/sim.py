@@ -244,7 +244,10 @@ class Simulation(object):
     def create_pdf(self, iterable, tbins, trange, qbins, qrange, nreps=1):
         """(hitcounts, 3D (channel,t,q) pdf histogram) from simulating
         the given events (reference: chroma/sim.py:188)."""
-        first_element, iterable = itertoolset.peek(iterable)
+        if isinstance(iterable, event.Photons):
+            first_element, iterable = iterable, [iterable]
+        else:
+            first_element, iterable = itertoolset.peek(iterable)
         iterable = self._ensure_photon_events(first_element, iterable)
 
         pdf_config = (tbins, trange, qbins, qrange)
@@ -283,7 +286,13 @@ class Simulation(object):
                                     min_bin_content=min_bin_content,
                                     time_only=time_only)
 
-        first_element, iterable = itertoolset.peek(iterable)
+        # a bare Photons bundle is ONE event, same convenience as
+        # simulate() — iterating it directly would split it into
+        # single-photon events (Photons.__getitem__)
+        if isinstance(iterable, event.Photons):
+            first_element, iterable = iterable, [iterable]
+        else:
+            first_element, iterable = itertoolset.peek(iterable)
         iterable = self._ensure_photon_events(first_element, iterable)
 
         for ev in iterable:

@@ -181,3 +181,31 @@ def test_kernel_pdf_matches_analytic():
         # sanity: smoothing only ever flattens the true density's peak
         if EVT[i] == MU[i]:
             assert combined < analytic_density(i)
+
+
+@pytest.mark.slow
+def test_eval_pdf_accepts_bare_photons():
+    """Simulation.eval_pdf / create_pdf given a bare Photons bundle
+    must treat it as ONE event, like simulate() does.  (Regression:
+    iterating the bundle directly split it into single-photon events
+    via Photons.__getitem__, whose scalar fields then crashed the
+    GPUPhotons padding — found by tools/bench_suite.py pdf_eval.)"""
+    from chroma_tpu import demo
+    from chroma_tpu.sim import Simulation
+    from chroma_tpu.generator.photon import photon_bomb
+
+    sim = Simulation(demo.tiny(), geant4_processes=0, seed=5)
+    bomb = photon_bomb(400, 400.0, (0.0, 0.0, 0.0)).photons_beg
+    ev0 = next(sim.simulate(bomb, run_daq=True))
+
+    hitcount, pdf = sim.create_pdf(bomb, 16, (-0.5, 99.5), 4,
+                                   (-0.5, 9.5))
+    assert hitcount.sum() > 0          # one event's worth of hits
+
+    hitcount2, pdf_value, pdf_err = sim.eval_pdf(
+        ev0.channels,
+        photon_bomb(400, 400.0, (0.0, 0.0, 0.0)).photons_beg,
+        1.0, (-0.5, 99.5), 1.0, (-0.5, 9.5),
+        nreps=2, ndaq=4, min_bin_content=5)
+    assert np.isfinite(np.asarray(pdf_value)).all()
+    assert np.asarray(hitcount2).sum() > 0

@@ -72,8 +72,17 @@ def main():
     # pdf / pdf_eval ride a Simulation (DAQ needs channel tables);
     # reuse the packed detector rather than re-flattening by hand-
     # assembling the device-state fields Simulation.__init__ builds
+    class _DetShim:
+        """Just enough of the host Detector for the PDF paths: the
+        packed tables already carry the channel count."""
+        def __init__(self, nchannels):
+            self._n = nchannels
+
+        def num_channels(self):
+            return self._n
+
     sim_obj = Simulation.__new__(Simulation)
-    sim_obj.detector = None
+    sim_obj.detector = _DetShim(int(gg.nchannels))
     sim_obj.photon_tracking = False
     sim_obj.seed = 1
     np.random.seed(1)
