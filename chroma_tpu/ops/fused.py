@@ -67,7 +67,9 @@ def _use_pallas_default():
 # drain-restart a drained lane no longer idles out the window (util
 # 0.59 -> ~0.75-0.90), so the window stretches until on-deck-slot
 # exhaustion: r4 sweep on the full demo peaks at se=17 (2.41M vs 2.17M
-# at the r3 se=10; tools/tune_ondeck.py + ARCHITECTURE.md).  Env knob:
+# at the r3 se=10; tools/tune_ondeck.py), re-confirmed r5 through the
+# OFFICIAL bench protocol where se=15/16/17 plateau at 2.20-2.22M and
+# se=18 drops (tools/tune_bench.py + ARCHITECTURE.md).  Env knob:
 # the service window is UNROLLED in the jitted driver, so compile time
 # grows with it — the CPU test suite pins a smaller value (conftest).
 SERVICE_EVERY = int(os.environ.get('CHROMA_TPU_SERVICE_EVERY', 17))
