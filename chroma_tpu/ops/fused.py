@@ -318,8 +318,23 @@ def _service_ondeck(lanes, pools, next_ptrs, keys, geom, max_steps,
                       BIG['flags'])
     active = ready & ~bad
     sf = jnp.where(step2 == 0, scatter_first, 0)
-    new_state = physics_update(BIG, RES, geom, u, flags, active,
-                               nan_mask, sf, use_weights=use_weights)
+    if os.environ.get('CHROMA_TPU_PHYS_BARRIER', '0') == '1':
+        # experimental: fence the physics lattice from the retire/
+        # refill tails.  optimization_barrier is a value identity;
+        # the probe (tools/probe_physics_cost.py) shows the lattice is
+        # cheap standalone and its in-context cost is fusion/scheduling
+        # interaction, so isolating it MAY schedule better.
+        (BIG, RES, u, flags, active, nan_mask, sf) = \
+            jax.lax.optimization_barrier(
+                (BIG, RES, u, flags, active, nan_mask, sf))
+        new_state = physics_update(BIG, RES, geom, u, flags, active,
+                                   nan_mask, sf,
+                                   use_weights=use_weights)
+        new_state = jax.lax.optimization_barrier(new_state)
+    else:
+        new_state = physics_update(BIG, RES, geom, u, flags, active,
+                                   nan_mask, sf,
+                                   use_weights=use_weights)
     BIG.update(new_state)
     step2 = step2 + ready.astype(jnp.int32)
     # repack ONCE for every set's retire/spare plumbing below.  Rows
