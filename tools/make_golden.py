@@ -18,6 +18,8 @@ import sys
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(os.path.dirname(
+    os.path.abspath(__file__)), '..'))
 from golden_config import (GOLDEN_SEED, NPHOTONS, WAVELENGTH,  # noqa: E402
                            BOMB_POS, NEVENTS, TIME_BINS, CHARGE_BINS,
                            FULL_SEED, FULL_NPHOTONS, FULL_NEVENTS,
